@@ -1,0 +1,136 @@
+"""Config contract tests vs the reference parser semantics
+(``configparser.cpp``)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpuslam.config.configuration import (
+    ApproximationType,
+    ComputationMethod,
+    Configuration,
+    ExecutionPolicy,
+)
+from tpuslam.config.parser import ConfigParser
+
+
+def parse(tmp_path, payload: dict) -> ConfigParser:
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(payload))
+    return ConfigParser([str(p)])
+
+
+BASE = {
+    "method": "icp",
+    "before-path": "data/bunny.obj",
+    "after-path": "data/bunny.obj",
+    "translation": [1.0, 2.0, 3.0],
+    "rotation": [1, 0, 0, 0, 1, 0, 0, 0, 1],
+}
+
+
+def test_defaults_match_parser_truth(tmp_path):
+    cp = parse(tmp_path, BASE)
+    assert cp.is_correct()
+    c = cp.get_configuration()
+    assert c.computation_method == ComputationMethod.Icp
+    assert c.max_distance_squared == 1000.0
+    assert c.approximation_type == ApproximationType.Hybrid
+    assert c.nicp_batch_size == 16
+    assert c.nicp_iterations == 32
+    assert c.nicp_subcloud_size == 1000
+    assert c.cpd_weight == pytest.approx(0.3)
+    # quirk: struct default true, parser default false — parser wins
+    assert c.cpd_const_scale is False
+    assert c.cpd_tolerance == pytest.approx(1e-3)
+    assert c.convergence_epsilon == pytest.approx(1e-3)
+    assert c.noise_intensity_before == pytest.approx(0.1)
+    assert c.additional_outliers_after == 0
+    assert c.ratio_of_far_field == pytest.approx(10.0)
+    assert c.order_of_truncation == 8
+    assert c.max_iterations is None
+    assert c.execution_policy is None
+
+
+def test_rotation_is_row_major_and_scale_multiplies(tmp_path):
+    payload = dict(BASE)
+    payload["rotation"] = [1, 2, 3, 4, 5, 6, 7, 8, 9]
+    payload["scale"] = 2.0
+    c = parse(tmp_path, payload).get_configuration()
+    rot, trans = c.transformation
+    # element (row 0, col 1) must be 2 (row-major) scaled by 2
+    assert rot[0, 1] == pytest.approx(4.0)
+    assert rot[1, 0] == pytest.approx(8.0)
+    np.testing.assert_allclose(trans, [1.0, 2.0, 3.0])
+
+
+def test_rotation_range_key_not_angle_range(tmp_path):
+    payload = {
+        "method": "cpd",
+        "before-path": "a",
+        "after-path": "b",
+        "rotation-range": 0.4,
+        "translation-range": 20.0,
+    }
+    cp = parse(tmp_path, payload)
+    assert cp.is_correct()
+    # stored as (rotation, translation) — configparser.cpp:182
+    assert cp.get_configuration().transformation_parameters == (0.4, 20.0)
+
+    bad = dict(payload)
+    bad["angle-range"] = bad.pop("rotation-range")
+    cp2 = parse(tmp_path, bad)
+    assert not cp2.is_correct()  # validation: no transformation provided
+
+
+def test_missing_transformation_is_error(tmp_path):
+    payload = {"method": "icp", "before-path": "a", "after-path": "b"}
+    assert not parse(tmp_path, payload).is_correct()
+
+
+def test_unknown_method_is_error_unknown_approx_is_hybrid(tmp_path):
+    payload = dict(BASE)
+    payload["method"] = "supericp"
+    assert not parse(tmp_path, payload).is_correct()
+
+    payload = dict(BASE)
+    payload["approximation-type"] = "bogus"
+    cp = parse(tmp_path, payload)
+    assert cp.is_correct()
+    assert cp.get_configuration().approximation_type == ApproximationType.Hybrid
+
+
+def test_unknown_policy_is_error(tmp_path):
+    payload = dict(BASE)
+    payload["policy"] = "warp"
+    assert not parse(tmp_path, payload).is_correct()
+
+    payload["policy"] = "sequential"
+    cp = parse(tmp_path, payload)
+    assert cp.is_correct()
+    assert cp.get_configuration().execution_policy == ExecutionPolicy.Sequential
+
+
+def test_cli_contract_missing_file_falls_back_to_default(tmp_path, monkeypatch):
+    monkeypatch.chdir("/root/repo")
+    cp = ConfigParser(["/nonexistent/path.json"])
+    assert cp.is_correct()
+    assert cp.get_configuration().before_path == "data/bunny.obj"
+
+
+def test_default_config_parses(monkeypatch):
+    monkeypatch.chdir("/root/repo")
+    cp = ConfigParser([])
+    assert cp.is_correct()
+    c = cp.get_configuration()
+    assert c.max_distance_squared == 400.0
+    assert c.max_iterations == 50
+    assert c.cloud_spread == 10.0
+
+
+def test_print_roundtrip(tmp_path, capsys):
+    c = parse(tmp_path, BASE).get_configuration()
+    text = c.print()
+    assert "method: icp" in text
+    assert "max-distance-squared: 1000.0" in text

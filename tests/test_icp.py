@@ -1,0 +1,115 @@
+"""ICP integration tests: golden self-registration with a known transform
+(the reference's oracle, SURVEY §4.2)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import make_cloud, random_rigid
+from tpuslam.algorithms.icp import icp_register
+from tpuslam.core.types import pad_cloud
+
+
+def register(before, after, **kw):
+    return icp_register(pad_cloud(before), pad_cloud(after), **kw)
+
+
+def test_recovers_small_transform(rng):
+    cloud = make_cloud(rng, 500)
+    r_true, t_true = random_rigid(rng, 0.2, 1.0)
+    after = cloud @ r_true.T + t_true
+    res = register(
+        cloud, after, eps=1e-5, max_distance_squared=1e4, max_iterations=50
+    )
+    assert float(res.error) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(res.transform.rotation), r_true, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.transform.translation), t_true, atol=1e-2
+    )
+
+
+def test_identity_converges_immediately(rng):
+    cloud = make_cloud(rng, 200)
+    res = register(cloud, cloud.copy(), eps=1e-4, max_iterations=50)
+    assert float(res.error) < 1e-4
+    assert int(res.iterations) <= 2
+    np.testing.assert_allclose(
+        np.asarray(res.transform.rotation), np.eye(3), atol=1e-3
+    )
+
+
+def test_respects_max_iterations(rng):
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 1.2, 8.0)  # hard: won't converge in 3
+    after = cloud @ r_true.T + t_true
+    res = register(
+        cloud, after, eps=1e-12, max_iterations=3, divergence_guard=False
+    )
+    assert int(res.iterations) <= 3
+
+
+def test_shuffled_correspondences(rng):
+    # after cloud in a different row order — ICP must still register
+    cloud = make_cloud(rng, 400)
+    r_true, t_true = random_rigid(rng, 0.15, 0.5)
+    after = (cloud @ r_true.T + t_true)[rng.permutation(400)]
+    res = register(cloud, after, eps=1e-5, max_iterations=50)
+    assert float(res.error) < 1e-3
+
+
+def test_zero_correspondences_stops(rng):
+    cloud = make_cloud(rng, 100)
+    far = cloud + 1000.0
+    res = register(cloud, far, eps=1e-6, max_distance_squared=1.0,
+                   max_iterations=10)
+    # all NN distances exceed the gate -> loop stops with identity
+    np.testing.assert_allclose(
+        np.asarray(res.transform.rotation), np.eye(3), atol=1e-6
+    )
+    assert float(res.error) == pytest.approx(1e5)  # initial sentinel
+
+
+def test_divergence_guard_reverts(rng):
+    # craft: guard must never yield a worse error than the best-seen
+    cloud = make_cloud(rng, 150)
+    r_true, t_true = random_rigid(rng, 0.9, 6.0)
+    after = cloud @ r_true.T + t_true
+    res = register(cloud, after, eps=1e-12, max_iterations=100)
+    res_ng = register(
+        cloud, after, eps=1e-12, max_iterations=100, divergence_guard=False
+    )
+    assert float(res.error) <= float(res_ng.error) + 1e-3
+
+
+def test_padded_rows_do_not_perturb(rng):
+    cloud = make_cloud(rng, 130)  # pads to 256
+    r_true, t_true = random_rigid(rng, 0.2, 1.0)
+    after = cloud @ r_true.T + t_true
+    res_padded = register(cloud, after, eps=1e-6, max_iterations=30)
+    # same clouds, different padding amount
+    before_c = pad_cloud(np.concatenate([cloud, np.zeros((0, 3), np.float32)]),
+                         multiple=512)
+    after_c = pad_cloud(after, multiple=512)
+    res_other = icp_register(before_c, after_c, eps=1e-6, max_iterations=30)
+    np.testing.assert_allclose(
+        np.asarray(res_padded.transform.rotation),
+        np.asarray(res_other.transform.rotation),
+        atol=1e-5,
+    )
+
+
+def test_registry_end_to_end(rng):
+    from tpuslam.algorithms.registry import run_with_configuration
+    from tpuslam.config.configuration import Configuration
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.2, 1.0)
+    after = cloud @ r_true.T + t_true
+    config = Configuration(
+        max_iterations=50, max_distance_squared=1e4, convergence_epsilon=1e-5
+    )
+    rot, trans, iters, err = run_with_configuration(cloud, after, config)
+    assert err < 1e-3
+    np.testing.assert_allclose(rot, r_true, atol=1e-2)

@@ -1,0 +1,149 @@
+"""Iterative Closest Point — one jitted implementation for CPU-jax and TPU.
+
+Redesign of the reference's twin implementations (CPU ``basicicp.cpp:23-61``,
+GPU ``icpcuda.cu:8-58``) as a single ``lax.while_loop`` whose whole body —
+NN correspondence search, weighted Procrustes, transform, error — compiles
+into one XLA program.  Nothing crosses the host boundary per iteration
+(the reference GPU round-trips the device 4+ times per iteration,
+SURVEY §3.2; here only the final scalars leave the device).
+
+Behavioral notes (SURVEY §2.7):
+* Transform composition is homogeneous (``R <- R_step R``,
+  ``t <- R_step t + t_step``) like the GPU version (``icpcuda.cu:35``);
+  the CPU version's additive ``t`` is a documented approximation we do not
+  copy (``basicicp.cpp:43-44``).
+* The divergence guard (error increased -> revert and stop,
+  ``icpcuda.cu:43-49``) is on by default and toggleable (the CPU version
+  lacks it).
+* ``max_iterations == -1`` means run until convergence
+  (``basicicp.cpp:14,32``).
+* Correspondences with squared distance >= ``max_distance_squared`` are
+  dropped via {0,1} weights instead of compaction (strict ``<``,
+  ``common.cpp:422``); zero correspondences stops the loop
+  (``basicicp.cpp:36-37``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.core.types import Cloud, RigidTransform
+from tpuslam.ops.nn import nearest_neighbors
+from tpuslam.ops.procrustes import weighted_procrustes
+
+FLT_MAX = jnp.float32(3.4028235e38)
+
+
+class ICPState(NamedTuple):
+    rotation: jnp.ndarray  # f32[3,3]
+    translation: jnp.ndarray  # f32[3]
+    prev_rotation: jnp.ndarray
+    prev_translation: jnp.ndarray
+    error: jnp.ndarray  # f32[]
+    prev_error: jnp.ndarray  # f32[]
+    iterations: jnp.ndarray  # i32[]
+    done: jnp.ndarray  # bool[]
+
+
+class RegistrationResult(NamedTuple):
+    transform: RigidTransform
+    iterations: jnp.ndarray  # i32[]
+    error: jnp.ndarray  # f32[]
+
+
+@partial(jax.jit, static_argnames=("use_pallas", "divergence_guard"))
+def icp_register(
+    before: Cloud,
+    after: Cloud,
+    eps: float = 1e-3,
+    max_distance_squared: float = 1000.0,
+    max_iterations: int = 50,
+    use_pallas: Optional[bool] = None,
+    divergence_guard: bool = True,
+) -> RegistrationResult:
+    """Register ``before`` onto ``after``; returns (R, t) with
+    ``after ≈ R @ before + t`` plus iteration count and final MSE."""
+    src_mask = before.mask()
+    max_iterations = jnp.asarray(max_iterations, dtype=jnp.int32)
+    eps = jnp.asarray(eps, dtype=jnp.float32)
+    max_d2 = jnp.asarray(max_distance_squared, dtype=jnp.float32)
+
+    def cond(s: ICPState):
+        return jnp.logical_and(
+            jnp.logical_not(s.done),
+            jnp.logical_or(max_iterations == -1, s.iterations < max_iterations),
+        )
+
+    def body(s: ICPState) -> ICPState:
+        transformed = before.points @ s.rotation.T + s.translation
+        idx, dist = nearest_neighbors(
+            transformed, after.points, after.count, use_pallas=use_pallas
+        )
+        w = jnp.logical_and(dist < max_d2, src_mask > 0).astype(jnp.float32)
+        n_corr = jnp.sum(w)
+        no_corr = n_corr == 0
+
+        matched = after.points[idx]
+        r_step, t_step = weighted_procrustes(transformed, matched, w)
+        r_new = r_step @ s.rotation
+        t_new = r_step @ s.translation + t_step
+
+        new_transformed = before.points @ r_new.T + t_new
+        diff = matched - new_transformed
+        err = jnp.sum(jnp.sum(diff * diff, axis=-1) * w) / jnp.maximum(n_corr, 1.0)
+
+        converged = err < eps
+        diverged = jnp.logical_and(
+            jnp.asarray(divergence_guard), err > s.prev_error
+        )
+
+        # zero correspondences: stop, keeping the pre-iteration state
+        # divergence: revert to the previous accepted state (icpcuda.cu:43-49)
+        def pick(cur, new, prev):
+            return jnp.where(no_corr, cur, jnp.where(diverged, prev, new))
+
+        rotation = pick(s.rotation, r_new, s.prev_rotation)
+        translation = pick(s.translation, t_new, s.prev_translation)
+        error = pick(s.error, err, s.prev_error)
+        done = jnp.logical_or(no_corr, jnp.logical_or(converged, diverged))
+        # the reference increments only when the loop continues
+        iterations = jnp.where(done, s.iterations, s.iterations + 1)
+
+        keep_going = jnp.logical_not(done)
+        return ICPState(
+            rotation=rotation,
+            translation=translation,
+            prev_rotation=jnp.where(keep_going, r_new, s.prev_rotation),
+            prev_translation=jnp.where(keep_going, t_new, s.prev_translation),
+            error=error,
+            prev_error=jnp.where(keep_going, err, s.prev_error),
+            iterations=iterations,
+            done=done,
+        )
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero = jnp.zeros((3,), dtype=jnp.float32)
+    init = ICPState(
+        rotation=eye,
+        translation=zero,
+        prev_rotation=eye,
+        prev_translation=zero,
+        error=jnp.float32(1e5),  # basicicp.cpp:26
+        prev_error=FLT_MAX,
+        iterations=jnp.int32(0),
+        done=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return RegistrationResult(
+        transform=RigidTransform(
+            rotation=final.rotation,
+            translation=final.translation,
+            scale=jnp.float32(1.0),
+        ),
+        iterations=final.iterations,
+        error=final.error,
+    )

@@ -1,0 +1,133 @@
+"""Method dispatch: one registration API over all algorithms.
+
+The TPU equivalent of the reference's dispatch switches
+(``cpumain.cpp:11-24``, ``gpumain.cpp:12-38``) and its shared ``SlamFunc``
+signature (``testrunner.h:8``): ``run_with_configuration(before, after,
+config) -> (rotation, translation, iterations, error)``.  There is ONE
+implementation per method (no CPU/GPU twins): the same jitted code runs on
+CPU jax in tests and on TPU in production (SURVEY §1 "key architectural
+idea").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from tpuslam.config.configuration import ComputationMethod, Configuration
+from tpuslam.core.types import pad_cloud
+
+# (rotation f32[3,3], translation f32[3], iterations, error)
+SlamResult = Tuple[np.ndarray, np.ndarray, int, float]
+SlamFunc = Callable[[np.ndarray, np.ndarray, Configuration], SlamResult]
+
+_REGISTRY: Dict[ComputationMethod, SlamFunc] = {}
+
+
+def register(method: ComputationMethod):
+    def deco(fn: SlamFunc) -> SlamFunc:
+        _REGISTRY[method] = fn
+        return fn
+
+    return deco
+
+
+def get_slam_func(method: ComputationMethod) -> SlamFunc:
+    if method not in _REGISTRY:
+        raise KeyError(f"no implementation registered for {method}")
+    return _REGISTRY[method]
+
+
+def run_with_configuration(
+    before: np.ndarray, after: np.ndarray, config: Configuration
+) -> SlamResult:
+    return get_slam_func(config.computation_method)(before, after, config)
+
+
+@register(ComputationMethod.Icp)
+def _run_icp(
+    before: np.ndarray, after: np.ndarray, config: Configuration
+) -> SlamResult:
+    """Mirrors ``CalculateICPWithConfiguration`` (``basicicp.cpp:12-21``)."""
+    from tpuslam.algorithms.icp import icp_register
+
+    max_iterations = (
+        int(config.max_iterations) if config.max_iterations is not None else -1
+    )
+    result = icp_register(
+        pad_cloud(before),
+        pad_cloud(after),
+        eps=config.convergence_epsilon,
+        max_distance_squared=config.max_distance_squared,
+        max_iterations=max_iterations,
+    )
+    return (
+        np.asarray(result.transform.rotation),
+        np.asarray(result.transform.translation),
+        int(result.iterations),
+        float(result.error),
+    )
+
+
+@register(ComputationMethod.NoniterativeIcp)
+def _run_nicp(
+    before: np.ndarray, after: np.ndarray, config: Configuration
+) -> SlamResult:
+    """Mirrors ``CalculateNonIterativeWithConfiguration``
+    (``noniterative.cpp:14-23``)."""
+    from tpuslam.algorithms.nicp import nicp_register
+
+    result = nicp_register(
+        pad_cloud(before),
+        pad_cloud(after),
+        eps=config.convergence_epsilon,
+        approximation_type=config.approximation_type,
+        subcloud_size=config.nicp_subcloud_size,
+        seed=config.random_seed if config.random_seed is not None else 0,
+    )
+    return (
+        np.asarray(result.transform.rotation),
+        np.asarray(result.transform.translation),
+        int(result.iterations),
+        float(result.error),
+    )
+
+
+@register(ComputationMethod.Cpd)
+def _run_cpd(
+    before: np.ndarray, after: np.ndarray, config: Configuration
+) -> SlamResult:
+    """Mirrors ``CalculateCpdWithConfiguration``
+    (``coherentpointdrift.cpp:43-65``).  NOTE the parser truth: a missing
+    ``max-iterations`` maps to -1 and the reference's EM loop condition
+    ``iterations < maxIterations`` is then immediately false — zero
+    iterations, identity result (``coherentpointdrift.cpp:104``).  We
+    reproduce that."""
+    from tpuslam.algorithms.cpd import cpd_register
+
+    max_iterations = (
+        int(config.max_iterations) if config.max_iterations is not None else -1
+    )
+    result = cpd_register(
+        pad_cloud(before),
+        pad_cloud(after),
+        eps=config.convergence_epsilon,
+        weight=config.cpd_weight,
+        const_scale=config.cpd_const_scale,
+        max_iterations=max_iterations,
+        tolerance=config.cpd_tolerance,
+        approximation_type=config.approximation_type,
+        ratio_of_far_field=config.ratio_of_far_field,
+        order_of_truncation=config.order_of_truncation,
+    )
+    # the reference returns (scale * R, t) (coherentpointdrift.cpp:123)
+    rotation = np.asarray(result.transform.scale) * np.asarray(
+        result.transform.rotation
+    )
+    return (
+        rotation,
+        np.asarray(result.transform.translation),
+        int(result.iterations),
+        float(result.error),
+    )

@@ -1,0 +1,83 @@
+"""Nearest-neighbor correspondence search — the ICP hot loop.
+
+TPU-native replacement for the reference's brute-force NN
+(CPU: ``common.cpp:399-515``; CUDA kernel ``FindCorrespondences``,
+``cudacommon.cu:57-77``): a blocked ``|a|^2 + |b|^2 - 2 a.b`` argmin.  The
+``-2 a.b`` term rides the MXU; the running (min, argmin) accumulates across
+target tiles.  Tie-breaking matches the reference: the FIRST (lowest) target
+index wins (strict ``<`` scan, ``common.cpp:416``).
+
+Two implementations behind one signature:
+
+* ``nearest_neighbors_ref`` — chunked jnp (XLA-fused); the behavioral oracle
+  and CPU-test path.
+* ``pallas_nn.nearest_neighbors_pallas`` — the Pallas kernel (used on TPU).
+
+Invalid target rows (index >= count) never win; if a source row is padding,
+its result is arbitrary — callers mask by the source validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(3.4e38)
+
+
+def _chunk_nn(
+    src_chunk: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_invalid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    a2 = jnp.sum(src_chunk * src_chunk, axis=-1, keepdims=True)
+    b2 = jnp.sum(tgt * tgt, axis=-1, keepdims=True).T
+    d = a2 + b2 - 2.0 * (src_chunk @ tgt.T)
+    d = jnp.where(tgt_invalid[None, :], BIG, d)
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.min(d, axis=1)
+    # the true squared distance can dip slightly negative from cancellation
+    return idx, jnp.maximum(best, 0.0)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def nearest_neighbors_ref(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_count: jnp.ndarray,
+    chunk: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each source row, the index and squared distance of the nearest
+    valid target row.  ``src``: f32[N,3], ``tgt``: f32[M,3] (padded),
+    ``tgt_count``: i32[] count of valid targets.  Returns (i32[N], f32[N]).
+    """
+    n = src.shape[0]
+    m = tgt.shape[0]
+    tgt_invalid = jnp.arange(m, dtype=jnp.int32) >= tgt_count
+    if n <= chunk:
+        return _chunk_nn(src, tgt, tgt_invalid)
+    # process source in fixed chunks to bound the (chunk, M) live tile
+    pad = (-n) % chunk
+    src_p = jnp.pad(src, ((0, pad), (0, 0)))
+    src_c = src_p.reshape(n // chunk + (1 if pad else 0), chunk, 3)
+    idx, dist = jax.lax.map(lambda s: _chunk_nn(s, tgt, tgt_invalid), src_c)
+    return idx.reshape(-1)[:n], dist.reshape(-1)[:n]
+
+
+def nearest_neighbors(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_count: jnp.ndarray,
+    use_pallas: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatching front: Pallas kernel on TPU, chunked jnp elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
+
+        return nearest_neighbors_pallas(src, tgt, tgt_count)
+    return nearest_neighbors_ref(src, tgt, tgt_count)
