@@ -1,0 +1,351 @@
+"""Coherent Point Drift — rigid GMM/EM registration (Myronenko & Song).
+
+Capability equivalent of the reference's CPD (CPU
+``coherentpointdrift.cpp``, GPU ``cpdcuda.cu``), redesigned for TPU: the
+whole EM optimization is ONE jitted ``lax.while_loop`` — the reference's
+GPU E-step launches O(N) kernels from a host loop (``cpdcuda.cu:104-116``)
+and its FGT path round-trips the entire E-step through the CPU
+(``cpdcuda.cu:150-170``); here nothing leaves the device.
+
+The N x M responsibility matrix is never materialized: the E-step streams
+target tiles through a blocked ``exp(-d^2 / 2 sigma^2)`` evaluation (the
+``-2 a.b`` term of d^2 rides the MXU) and accumulates only the sufficient
+statistics ``p1 = P 1`` (M), ``pt1 = P^T 1`` (N), ``px = P X`` (M, 3) and
+the log-likelihood — exactly the reference's memory strategy
+(``cudaprobabilities.h:19-30``) with the tiling done on-device.  Raw
+``exp`` is numerically safe here: exponents are <= 0 so overflow is
+impossible, and underflow to zero is the correct limit (the denominator is
+floored by the uniform-component constant, ``coherentpointdrift.cpp:204``).
+
+Semantics matched to the reference (parser truth):
+
+* ``sigma^2`` init ``= sum_ij |b_i - a_j|^2 / (3 N M)``
+  (``coherentpointdrift.cpp:126-139``) — computed in closed form
+  (``N sum|b|^2 + M sum|a|^2 - 2 sum b . sum a``) instead of an O(NM) pass.
+* Uniform-component constant: the exact E-step uses
+  ``c = (2 pi sigma0^2)^1.5 w M / ((1-w) N)`` computed ONCE from the
+  *initial* sigma^2 (``coherentpointdrift.cpp:96``); the FGT path
+  recomputes it from the *current* sigma^2 every call
+  (``cpdutils.cpp:44``).  Both behaviors preserved per mode.
+* Weight clamped to (1e-6, 1 - 1e-6) (``coherentpointdrift.cpp:91-94``).
+* Loop: ``iter < max_iterations && ntol > tolerance && sigma^2 > eps`` with
+  ``ntol = |(L - L_prev)/L|`` (``coherentpointdrift.cpp:104-113``); a
+  missing ``max-iterations`` maps to -1 and the loop never runs (identity
+  result) — reproduced.
+* M-step (``coherentpointdrift.cpp:223-278``): weighted centroids,
+  ``A = px^T B - Np mu_a mu_b^T``, det-corrected 3x3 SVD, optional scale
+  ``tr(S D)/denominator``, sigma^2 update with const-scale and free-scale
+  branches, ``t = mu_a - s R mu_b``.  Returned rotation is ``scale * R``
+  (``coherentpointdrift.cpp:123``).
+* Approximation ladder (``coherentpointdrift.cpp:140-165``): ``None`` =
+  exact; ``Full`` = sigma^2 floored at 0.05, fast path; ``Hybrid`` = fast
+  path while ``sigma^2 > 0.015 sigma0^2`` else exact with truncation 1e-3
+  (responsibilities with log-exponent below log(1e-3) dropped,
+  ``coherentpointdrift.cpp:191-196``).  The reference's "fast path" is a
+  CPU Fast Gauss Transform (``fgt.cpp``) — a clustering+Taylor
+  approximation that is TPU-hostile (irregular gather/scatter); on TPU the
+  exact blocked E-step IS the fast path (MXU tiles), so fast-path
+  iterations run the exact kernel with FGT-mode *constant* semantics.  An
+  optional pure-JAX FGT lives in ``tpuslam.ops.fgt`` for numerical parity
+  experiments.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.algorithms.icp import RegistrationResult
+from tpuslam.config.configuration import ApproximationType
+from tpuslam.core.types import Cloud, RigidTransform
+
+_TWO_PI = 2.0 * math.pi
+
+
+class Sufficient(NamedTuple):
+    """E-step sufficient statistics (the reference's ``Probabilities``,
+    ``cudaprobabilities.h:7-31``)."""
+
+    p1: jnp.ndarray  # f32[M]   P @ 1
+    pt1: jnp.ndarray  # f32[N]  P^T @ 1
+    px: jnp.ndarray  # f32[M,3] P @ X
+    error: jnp.ndarray  # f32[]  negative log-likelihood
+
+
+def sigma_squared_init(
+    moving: jnp.ndarray,
+    moving_mask: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Closed form of ``CalculateSigmaSquared`` (``coherentpointdrift.cpp:
+    126-139``): sum_ij |b_i - a_j|^2 = N_a sum|b|^2 + N_b sum|a|^2
+    - 2 (sum b).(sum a), masked."""
+    nb = jnp.sum(moving_mask)
+    na = jnp.sum(target_mask)
+    sb2 = jnp.sum(jnp.sum(moving * moving, -1) * moving_mask)
+    sa2 = jnp.sum(jnp.sum(target * target, -1) * target_mask)
+    sb = jnp.sum(moving * moving_mask[:, None], axis=0)
+    sa = jnp.sum(target * target_mask[:, None], axis=0)
+    total = na * sb2 + nb * sa2 - 2.0 * jnp.dot(sb, sa)
+    return total / (3.0 * nb * na)
+
+
+def uniform_constant(
+    sigma2: jnp.ndarray, weight: jnp.ndarray, m: jnp.ndarray, n: jnp.ndarray
+) -> jnp.ndarray:
+    """``(2 pi sigma^2)^{3/2} w M / ((1-w) N)``
+    (``coherentpointdrift.cpp:96``, ``cpdutils.cpp:44``)."""
+    return (
+        jnp.power(_TWO_PI * sigma2, 1.5) * weight * m / ((1.0 - weight) * n)
+    )
+
+
+def _pick_tile(n: int) -> int:
+    for tile in (1024, 512, 256, 128):
+        if n % tile == 0:
+            return tile
+    return n
+
+
+def cpd_estep(
+    transformed: jnp.ndarray,
+    moving_mask: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    constant: jnp.ndarray,
+    trunc_active: jnp.ndarray,
+    truncate: float = 1e-3,
+) -> Sufficient:
+    """Blocked exact E-step (``ComputePMatrix``,
+    ``coherentpointdrift.cpp:167-221``), streaming target tiles.
+
+    ``trunc_active`` (traced bool): drop responsibilities whose exponent is
+    below ``log(truncate)`` — branchless equivalent of the ``doTruncate``
+    path (``coherentpointdrift.cpp:191-196``).
+    """
+    m = transformed.shape[0]
+    n = target.shape[0]
+    tile = _pick_tile(n)
+    multiplier = -0.5 / sigma2
+    log_trunc = jnp.float32(math.log(truncate))
+    ty2 = jnp.sum(transformed * transformed, axis=-1)  # f32[M]
+
+    tiles_x = target.reshape(n // tile, tile, 3)
+    tiles_mask = target_mask.reshape(n // tile, tile)
+
+    def step(carry, inp):
+        p1, px, err = carry
+        xt, mt = inp  # f32[tile,3], f32[tile]
+        d2 = (
+            ty2[:, None]
+            + jnp.sum(xt * xt, axis=-1)[None, :]
+            - 2.0
+            * jnp.dot(
+                transformed, xt.T, precision=jax.lax.Precision.HIGHEST
+            )
+        )
+        expo = multiplier * d2
+        g = jnp.exp(expo) * moving_mask[:, None]
+        g = jnp.where(
+            jnp.logical_and(trunc_active, expo < log_trunc), 0.0, g
+        )
+        denom = jnp.sum(g, axis=0) + constant  # f32[tile]
+        pt1_t = (1.0 - constant / denom) * mt
+        pn = (g / denom[None, :]) * mt[None, :]
+        p1 = p1 + jnp.sum(pn, axis=1)
+        px = px + jnp.dot(pn, xt, precision=jax.lax.Precision.HIGHEST)
+        err = err - jnp.sum(jnp.log(denom) * mt)
+        return (p1, px, err), pt1_t
+
+    init = (
+        jnp.zeros((m,), jnp.float32),
+        jnp.zeros((m, 3), jnp.float32),
+        jnp.float32(0.0),
+    )
+    (p1, px, err), pt1_tiles = jax.lax.scan(step, init, (tiles_x, tiles_mask))
+    n_valid = jnp.sum(target_mask)
+    err = err + 3.0 * n_valid * jnp.log(sigma2) / 2.0
+    return Sufficient(p1=p1, pt1=pt1_tiles.reshape(n), px=px, error=err)
+
+
+class MStepResult(NamedTuple):
+    rotation: jnp.ndarray
+    translation: jnp.ndarray
+    scale: jnp.ndarray
+    sigma2: jnp.ndarray
+
+
+def cpd_mstep(
+    moving: jnp.ndarray,
+    target: jnp.ndarray,
+    stats: Sufficient,
+    const_scale: bool,
+    prev_scale: jnp.ndarray,
+) -> MStepResult:
+    """Closed-form rigid M-step (``MStep``, ``coherentpointdrift.cpp:
+    223-278``) — a handful of einsums and a 3x3 SVD (the reference burns
+    ~210 lines of cuBLAS/cuSOLVER plumbing on this, ``cpdcuda.cu:172-300``).
+
+    Masking note: padded rows have ``p1 = 0`` / ``pt1 = 0`` by E-step
+    construction, so every sum here is already mask-clean.
+    """
+    np_ = jnp.sum(stats.p1)
+    inv_np = 1.0 / np_
+    mu_b = inv_np * jnp.einsum("m,mr->r", stats.p1, moving)
+    mu_a = inv_np * jnp.einsum("n,nr->r", stats.pt1, target)
+
+    # A = px^T B - Np mu_a mu_b^T   (coherentpointdrift.cpp:240)
+    a_mat = (
+        jnp.einsum(
+            "mr,mc->rc", stats.px, moving,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        - np_ * jnp.outer(mu_a, mu_b)
+    )
+    u, sv, vt = jnp.linalg.svd(a_mat, full_matrices=False)
+    det_uv = jnp.linalg.det(u @ vt)
+    d = jnp.array([1.0, 1.0, 0.0], a_mat.dtype) + jnp.array(
+        [0.0, 0.0, 1.0], a_mat.dtype
+    ) * det_uv
+    r = (u * d[None, :]) @ vt
+    # tr(S diag(1,1,det(UV^T)))  (coherentpointdrift.cpp:258-260)
+    scale_num = sv[0] + sv[1] + det_uv * sv[2]
+
+    sigma_sub = (
+        jnp.sum(stats.pt1 * jnp.sum(target * target, -1))
+        - np_ * jnp.dot(mu_a, mu_a)
+    )
+    scale_den = (
+        jnp.sum(stats.p1 * jnp.sum(moving * moving, -1))
+        - np_ * jnp.dot(mu_b, mu_b)
+    )
+
+    if const_scale:
+        scale = prev_scale
+        sigma2 = (
+            inv_np * jnp.abs(sigma_sub + scale_den - 2.0 * scale_num) / 3.0
+        )
+    else:
+        scale = scale_num / scale_den
+        sigma2 = inv_np * jnp.abs(sigma_sub - scale * scale_num) / 3.0
+
+    t = mu_a - scale * (r @ mu_b)
+    return MStepResult(rotation=r, translation=t, scale=scale, sigma2=sigma2)
+
+
+class CPDState(NamedTuple):
+    rotation: jnp.ndarray
+    translation: jnp.ndarray
+    scale: jnp.ndarray
+    sigma2: jnp.ndarray
+    log_likelihood: jnp.ndarray
+    ntol: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+@partial(
+    jax.jit,
+    static_argnames=("const_scale", "approximation_type"),
+)
+def cpd_register(
+    before: Cloud,
+    after: Cloud,
+    eps: float = 1e-3,
+    weight: float = 0.3,
+    const_scale: bool = False,
+    max_iterations: int = -1,
+    tolerance: float = 1e-3,
+    approximation_type: ApproximationType = ApproximationType.NONE,
+    ratio_of_far_field: float = 10.0,
+    order_of_truncation: int = 8,
+) -> RegistrationResult:
+    """Register ``before`` (the moving GMM centroids) onto ``after``.
+
+    ``ratio_of_far_field`` / ``order_of_truncation`` are accepted for config
+    parity; they parameterize the reference's CPU FGT approximation, which
+    the TPU fast path replaces with exact blocked tiles (see module doc).
+    """
+    moving = before.points
+    target = after.points
+    mask_b = before.mask()
+    mask_a = after.mask()
+    m = jnp.sum(mask_b)
+    n = jnp.sum(mask_a)
+
+    weight = jnp.clip(jnp.float32(weight), 1e-6, 1.0 - 1e-6)
+    eps = jnp.float32(eps)
+    tolerance = jnp.float32(tolerance)
+    max_iterations = jnp.asarray(max_iterations, jnp.int32)
+
+    sigma2_0 = sigma_squared_init(moving, mask_b, target, mask_a)
+    c_init = uniform_constant(sigma2_0, weight, m, n)
+
+    def cond(s: CPDState):
+        return jnp.logical_and(
+            s.iterations < max_iterations,
+            jnp.logical_and(s.ntol > tolerance, s.sigma2 > eps),
+        )
+
+    def body(s: CPDState) -> CPDState:
+        transformed = s.scale * (moving @ s.rotation.T) + s.translation
+
+        if approximation_type == ApproximationType.NONE:
+            sigma_e = s.sigma2
+            c_used = c_init
+            trunc = jnp.asarray(False)
+        elif approximation_type == ApproximationType.Full:
+            # sigma^2 floor (coherentpointdrift.cpp:152-155) and FGT-mode
+            # constant from the *current* sigma^2 (cpdutils.cpp:44)
+            sigma_e = jnp.maximum(s.sigma2, 0.05)
+            c_used = uniform_constant(sigma_e, weight, m, n)
+            trunc = jnp.asarray(False)
+        else:  # Hybrid (coherentpointdrift.cpp:157-164)
+            fast_now = s.sigma2 > 0.015 * sigma2_0
+            sigma_e = s.sigma2
+            c_used = jnp.where(
+                fast_now,
+                uniform_constant(s.sigma2, weight, m, n),
+                c_init,
+            )
+            trunc = jnp.logical_not(fast_now)
+
+        stats = cpd_estep(
+            transformed, mask_b, target, mask_a, sigma_e, c_used, trunc
+        )
+        ntol = jnp.abs((stats.error - s.log_likelihood) / stats.error)
+        mres = cpd_mstep(moving, target, stats, const_scale, s.scale)
+        return CPDState(
+            rotation=mres.rotation,
+            translation=mres.translation,
+            scale=mres.scale,
+            sigma2=mres.sigma2,
+            log_likelihood=stats.error,
+            ntol=ntol,
+            iterations=s.iterations + 1,
+        )
+
+    init = CPDState(
+        rotation=jnp.eye(3, dtype=jnp.float32),
+        translation=jnp.zeros((3,), jnp.float32),
+        scale=jnp.float32(1.0),
+        sigma2=sigma2_0,
+        log_likelihood=jnp.float32(0.0),
+        ntol=tolerance + 10.0,
+        iterations=jnp.int32(0),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return RegistrationResult(
+        transform=RigidTransform(
+            rotation=final.rotation,
+            translation=final.translation,
+            scale=final.scale,
+        ),
+        iterations=final.iterations,
+        error=final.sigma2,  # the reference reports sigma^2 as "error"
+    )
