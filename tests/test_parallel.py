@@ -1,0 +1,117 @@
+"""Multi-chip sharding: sharded ICP/CPD/NN vs their single-device twins on
+the virtual 8-device CPU mesh (SURVEY §4: fake multi-device testing via
+``--xla_force_host_platform_device_count``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import random_rigid
+from tpuslam.core.types import pad_cloud
+from tpuslam.parallel.mesh import make_mesh, replicate_cloud, shard_cloud
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    return make_mesh()
+
+
+def test_sharded_nn_matches_reference(rng, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    from tpuslam.ops.nn import nearest_neighbors_ref
+    from tpuslam.parallel.nn import sharded_nn_combine
+
+    src = (rng.random((256, 3)) * 10).astype(np.float32)
+    tgt_np = (rng.random((900, 3)) * 10).astype(np.float32)
+    tgt = shard_cloud(tgt_np, mesh)
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda s, t, c: sharded_nn_combine(s, t, c),
+            mesh=mesh,
+            in_specs=(P(), P("points", None), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    gidx, dist, matched = fn(jnp.asarray(src), tgt.points, tgt.count)
+    ref_idx, ref_dist = nearest_neighbors_ref(
+        jnp.asarray(src), tgt.points, tgt.count
+    )
+    np.testing.assert_array_equal(np.asarray(gidx), np.asarray(ref_idx))
+    np.testing.assert_allclose(
+        np.asarray(dist), np.asarray(ref_dist), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(matched), tgt_np[np.asarray(gidx)], atol=1e-6
+    )
+
+
+def test_sharded_icp_matches_single_device(rng, mesh):
+    from tpuslam.algorithms.icp import icp_register
+    from tpuslam.parallel.icp import icp_register_sharded
+
+    before = (rng.random((500, 3)) * 10).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.2, trans=1.0)
+    after = (before @ r.T + t)[rng.permutation(500)].astype(np.float32)
+
+    single = icp_register(
+        pad_cloud(before), pad_cloud(after), max_iterations=30
+    )
+    sharded = icp_register_sharded(
+        replicate_cloud(before, mesh),
+        shard_cloud(after, mesh),
+        mesh,
+        max_iterations=30,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.rotation),
+        np.asarray(single.transform.rotation),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.translation),
+        np.asarray(single.transform.translation),
+        atol=1e-3,
+    )
+    # and it actually recovers the injected transform
+    rot = np.asarray(sharded.transform.rotation)
+    trans = np.asarray(sharded.transform.translation)
+    mse = np.mean(
+        np.sum((before @ rot.T + trans - (before @ r.T + t)) ** 2, -1)
+    )
+    assert mse < 1e-3
+
+
+def test_sharded_cpd_matches_single_device(rng, mesh):
+    from tpuslam.algorithms.cpd import cpd_register
+    from tpuslam.parallel.cpd import cpd_register_sharded
+
+    before = (rng.random((200, 3)) * 5.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.2, trans=0.4)
+    after = (before @ r.T + t)[rng.permutation(200)].astype(np.float32)
+
+    single = cpd_register(
+        pad_cloud(before), pad_cloud(after),
+        weight=0.1, max_iterations=40, tolerance=1e-6,
+    )
+    sharded = cpd_register_sharded(
+        replicate_cloud(before, mesh),
+        shard_cloud(after, mesh),
+        mesh,
+        weight=0.1, max_iterations=40, tolerance=1e-6,
+    )
+    assert int(sharded.iterations) == int(single.iterations)
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.rotation),
+        np.asarray(single.transform.rotation),
+        atol=2e-4,
+    )
+    # final sigma^2 is tiny and chaotic in f32 summation order; same
+    # magnitude is the meaningful check
+    np.testing.assert_allclose(
+        float(sharded.error), float(single.error), rtol=0.25, atol=1e-5
+    )

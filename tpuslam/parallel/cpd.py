@@ -1,0 +1,211 @@
+"""Multi-chip CPD: EM with the target cloud sharded over the mesh.
+
+The decomposition follows directly from the sufficient-statistics form
+(SURVEY §5.7-5.8): each target point's responsibility denominator is a sum
+over the REPLICATED moving cloud, so the E-step is embarrassingly parallel
+over target shards — each device runs the blocked exact E-step on its
+shard and only the moment accumulators cross chips:
+
+* ``p1`` (f32[M]), ``px`` (f32[M,3]), log-likelihood — ``psum`` over ICI;
+* ``pt1`` stays sharded; the M-step needs it only through the reductions
+  ``A^T pt1`` (f32[3]) and ``sum pt1 |a|^2`` (f32[]), which are psum'd as
+  scalars/3-vectors ("ring attention for GMM responsibilities" without the
+  ring — the mixture structure makes the denominator local).
+
+The 3x3 SVD M-step then runs replicated on every chip.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpuslam.algorithms.cpd import (
+    CPDState,
+    cpd_estep,
+    uniform_constant,
+)
+from tpuslam.algorithms.icp import RegistrationResult
+from tpuslam.config.configuration import ApproximationType
+from tpuslam.core.types import Cloud, RigidTransform
+from tpuslam.parallel.mesh import POINTS_AXIS
+
+
+@lru_cache(maxsize=16)
+def _build(mesh: Mesh, const_scale: bool,
+           approximation_type: ApproximationType):
+    axis = POINTS_AXIS
+
+    def loop(moving, mask_b, tgt_shard, tgt_count,
+             weight, eps, tolerance, max_iterations):
+        shard_size = tgt_shard.shape[0]
+        offset = jax.lax.axis_index(axis) * shard_size
+        local_gidx = offset + jnp.arange(shard_size, dtype=jnp.int32)
+        mask_a = (local_gidx < tgt_count).astype(jnp.float32)
+
+        m = jnp.sum(mask_b)
+        n = jax.lax.psum(jnp.sum(mask_a), axis)
+
+        # sigma^2 init, closed form with psum'd target partials
+        sb2 = jnp.sum(jnp.sum(moving * moving, -1) * mask_b)
+        sb = jnp.sum(moving * mask_b[:, None], axis=0)
+        sa2 = jax.lax.psum(
+            jnp.sum(jnp.sum(tgt_shard * tgt_shard, -1) * mask_a), axis
+        )
+        sa = jax.lax.psum(
+            jnp.sum(tgt_shard * mask_a[:, None], axis=0), axis
+        )
+        sigma2_0 = (n * sb2 + m * sa2 - 2.0 * jnp.dot(sb, sa)) / (
+            3.0 * m * n
+        )
+        c_init = uniform_constant(sigma2_0, weight, m, n)
+
+        def estep_psum(transformed, sigma2, c_used, trunc):
+            local = cpd_estep(
+                transformed, mask_b, tgt_shard, mask_a, sigma2, c_used,
+                trunc,
+            )
+            p1 = jax.lax.psum(local.p1, axis)
+            px = jax.lax.psum(local.px, axis)
+            err = jax.lax.psum(local.error, axis)
+            # the per-shard error already includes 3*n_local*log(s2)/2,
+            # which psums to the global 3*N*log(s2)/2 term — exact
+            t_pt1_a2 = jax.lax.psum(
+                jnp.sum(local.pt1 * jnp.sum(tgt_shard * tgt_shard, -1)),
+                axis,
+            )
+            s_pt1_a = jax.lax.psum(
+                jnp.einsum("n,nr->r", local.pt1, tgt_shard), axis
+            )
+            return p1, px, err, t_pt1_a2, s_pt1_a
+
+        def cond(s: CPDState):
+            return jnp.logical_and(
+                s.iterations < max_iterations,
+                jnp.logical_and(s.ntol > tolerance, s.sigma2 > eps),
+            )
+
+        def body(s: CPDState) -> CPDState:
+            transformed = s.scale * (moving @ s.rotation.T) + s.translation
+
+            if approximation_type == ApproximationType.NONE:
+                sigma_e, c_used = s.sigma2, c_init
+                trunc = jnp.asarray(False)
+            elif approximation_type == ApproximationType.Full:
+                sigma_e = jnp.maximum(s.sigma2, 0.05)
+                c_used = uniform_constant(sigma_e, weight, m, n)
+                trunc = jnp.asarray(False)
+            else:  # Hybrid
+                fast_now = s.sigma2 > 0.015 * sigma2_0
+                sigma_e = s.sigma2
+                c_used = jnp.where(
+                    fast_now,
+                    uniform_constant(s.sigma2, weight, m, n),
+                    c_init,
+                )
+                trunc = jnp.logical_not(fast_now)
+
+            p1, px, err, t_pt1_a2, s_pt1_a = estep_psum(
+                transformed, sigma_e, c_used, trunc
+            )
+            ntol = jnp.abs((err - s.log_likelihood) / err)
+
+            # replicated M-step from psum'd moments
+            np_ = jnp.sum(p1)
+            inv_np = 1.0 / np_
+            mu_b = inv_np * jnp.einsum("m,mr->r", p1, moving)
+            mu_a = inv_np * s_pt1_a
+            a_mat = (
+                jnp.einsum(
+                    "mr,mc->rc", px, moving,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                - np_ * jnp.outer(mu_a, mu_b)
+            )
+            u, sv, vt = jnp.linalg.svd(a_mat, full_matrices=False)
+            det_uv = jnp.linalg.det(u @ vt)
+            d = jnp.array([1.0, 1.0, 0.0], jnp.float32) + jnp.array(
+                [0.0, 0.0, 1.0], jnp.float32
+            ) * det_uv
+            r = (u * d[None, :]) @ vt
+            scale_num = sv[0] + sv[1] + det_uv * sv[2]
+            sigma_sub = t_pt1_a2 - np_ * jnp.dot(mu_a, mu_a)
+            scale_den = (
+                jnp.sum(p1 * jnp.sum(moving * moving, -1))
+                - np_ * jnp.dot(mu_b, mu_b)
+            )
+            if const_scale:
+                scale = s.scale
+                sigma2 = (
+                    inv_np
+                    * jnp.abs(sigma_sub + scale_den - 2.0 * scale_num)
+                    / 3.0
+                )
+            else:
+                scale = scale_num / scale_den
+                sigma2 = inv_np * jnp.abs(sigma_sub - scale * scale_num) / 3.0
+            t = mu_a - scale * (r @ mu_b)
+
+            return CPDState(
+                rotation=r, translation=t, scale=scale, sigma2=sigma2,
+                log_likelihood=err, ntol=ntol,
+                iterations=s.iterations + 1,
+            )
+
+        init = CPDState(
+            rotation=jnp.eye(3, dtype=jnp.float32),
+            translation=jnp.zeros((3,), jnp.float32),
+            scale=jnp.float32(1.0),
+            sigma2=sigma2_0,
+            log_likelihood=jnp.float32(0.0),
+            ntol=tolerance + 10.0,
+            iterations=jnp.int32(0),
+        )
+        final = jax.lax.while_loop(cond, body, init)
+        return (final.rotation, final.translation, final.scale,
+                final.iterations, final.sigma2)
+
+    sharded = jax.shard_map(
+        loop,
+        mesh=mesh,
+        in_specs=(P(), P(), P(POINTS_AXIS, None), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def cpd_register_sharded(
+    before: Cloud,
+    after: Cloud,
+    mesh: Mesh,
+    eps: float = 1e-3,
+    weight: float = 0.3,
+    const_scale: bool = False,
+    max_iterations: int = -1,
+    tolerance: float = 1e-3,
+    approximation_type: ApproximationType = ApproximationType.NONE,
+) -> RegistrationResult:
+    """``before`` (moving) replicated, ``after`` (target) sharded."""
+    fn = _build(mesh, const_scale, approximation_type)
+    weight = float(min(max(weight, 1e-6), 1.0 - 1e-6))
+    rotation, translation, scale, iterations, sigma2 = fn(
+        before.points,
+        before.mask(),
+        after.points,
+        after.count,
+        jnp.float32(weight),
+        jnp.float32(eps),
+        jnp.float32(tolerance),
+        jnp.int32(max_iterations),
+    )
+    return RegistrationResult(
+        transform=RigidTransform(
+            rotation=rotation, translation=translation, scale=scale
+        ),
+        iterations=iterations,
+        error=sigma2,
+    )

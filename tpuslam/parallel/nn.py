@@ -1,0 +1,59 @@
+"""Sharded nearest-neighbor search: per-shard argmin + global combine.
+
+The multi-chip form of the ICP hot loop (SURVEY §5.8): the target cloud is
+sharded along the ``points`` axis; every device computes (min, argmin) of
+its shard for ALL source points, then the global winner is resolved with
+two ``pmin`` collectives over ICI — one on distances, one lexicographic on
+global indices so the reference's FIRST-index-wins tie-break
+(``common.cpp:416`` strict ``<``) is preserved across shards.  A third
+``psum`` replicates the winning target coordinates so the 3x3 Procrustes
+that follows runs replicated with no gather from remote shards.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.parallel.mesh import POINTS_AXIS
+
+BIG = jnp.float32(3.4e38)
+IMAX = jnp.int32(2**31 - 1)
+
+
+def sharded_nn_combine(
+    src: jnp.ndarray,
+    tgt_shard: jnp.ndarray,
+    tgt_count: jnp.ndarray,
+    axis: str = POINTS_AXIS,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Runs INSIDE a shard_map body.
+
+    ``src``: replicated f32[N,3]; ``tgt_shard``: this device's f32[M/d,3]
+    block; ``tgt_count``: replicated global valid count.  Returns replicated
+    (global_index i32[N], sq_distance f32[N], matched_points f32[N,3]).
+    """
+    shard_size = tgt_shard.shape[0]
+    offset = jax.lax.axis_index(axis) * shard_size
+    local_gidx = offset + jnp.arange(shard_size, dtype=jnp.int32)
+    invalid = local_gidx >= tgt_count
+
+    a2 = jnp.sum(src * src, axis=-1, keepdims=True)
+    b2 = jnp.sum(tgt_shard * tgt_shard, axis=-1, keepdims=True).T
+    d = a2 + b2 - 2.0 * (src @ tgt_shard.T)
+    d = jnp.where(invalid[None, :], BIG, d)
+    il = jnp.argmin(d, axis=1).astype(jnp.int32)
+    dl = jnp.maximum(jnp.min(d, axis=1), 0.0)
+    dl = jnp.where(dl >= BIG, BIG, dl)
+    gl = il + offset
+
+    dmin = jax.lax.pmin(dl, axis)
+    # among shards attaining dmin, the lowest global index wins
+    cand = jnp.where(dl == dmin, gl, IMAX)
+    gmin = jax.lax.pmin(cand, axis)
+    win = gmin == gl
+    matched_local = jnp.where(win[:, None], tgt_shard[il], 0.0)
+    matched = jax.lax.psum(matched_local, axis)
+    return gmin, dmin, matched
