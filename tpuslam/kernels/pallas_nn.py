@@ -1,0 +1,130 @@
+"""Pallas TPU kernel: blocked nearest-neighbor (min, argmin) search.
+
+The TPU-native replacement for the reference's ``FindCorrespondences`` CUDA
+kernel (one thread per source point serially scanning all M targets,
+``cudacommon.cu:57-77``): a 2-D grid over (source tiles x target tiles);
+each step evaluates a ``[BM, BN]`` squared-distance tile and folds a
+running (min, argmin) accumulator held in the lane-aligned ``[1, N]``
+output refs across target tiles.  The tile is laid out targets-on-sublanes
+/ sources-on-lanes so the per-source reduction is a sublane min.
+
+Numerics: distances are computed as ``sum_k (t_k - s_k)^2`` with three
+broadcast FMA chains — exact f32.  The algebraically equivalent
+``|t|^2 + |s|^2 - 2 t.s`` form would ride the MXU but catastrophically
+cancels: nearest-neighbor distances are orders of magnitude below the
+norms, and the MXU's bf16-pass products (default precision) swamp them
+entirely (measured: argmin agreement 8% at 131k points, spread 10).  The
+exact form measures at VPU speed-of-light (~14 ops/element), which for a
+3-D distance tile is the true bound — the matmul shortcut only helps when
+its precision is acceptable, and here it is not.
+
+Tie-breaking matches the reference's strict ``<`` scan
+(``common.cpp:416``): within a tile the emulated argmin keeps the lowest
+target row; across tiles a strictly-smaller distance is required to
+replace the incumbent, so earlier (lower-index) tiles win ties.
+
+Padded target rows (index >= count) are masked to +BIG so they never win.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3.4e38  # Python literals: jnp scalars would be captured consts
+IMAX = 2**31 - 1
+
+# keep the [BM, BN] f32 distance tile + temporaries well under ~16 MB VMEM
+_MAX_TILE_ELEMS = 1024 * 1024
+
+
+def _pick_block(n: int, prefer: Tuple[int, ...]) -> int:
+    for b in prefer:
+        if n % b == 0:
+            return b
+    return n
+
+
+def _nn_kernel(count_ref, src_ref, tgt_ref, dist_ref, idx_ref):
+    j = pl.program_id(1)
+    bm = tgt_ref.shape[0]
+    bn = src_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        dist_ref[:] = jnp.full_like(dist_ref, BIG)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    s = src_ref[:]  # [BN, 3]
+    t = tgt_ref[:]  # [BM, 3]
+    # exact f32 distance tile, targets on sublanes / sources on lanes
+    d = (t[:, 0:1] - s[:, 0][None, :]) ** 2
+    d += (t[:, 1:2] - s[:, 1][None, :]) ** 2
+    d += (t[:, 2:3] - s[:, 2][None, :]) ** 2
+
+    valid = (
+        j * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+    ) < count_ref[0]
+    d = jnp.where(valid, d, BIG)
+
+    tile_min = jnp.min(d, axis=0, keepdims=True)  # [1, BN]
+    # first-occurrence argmin emulated with a row-index min
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+    masked_rows = jnp.where(d == tile_min, rows, IMAX)
+    tile_arg = jnp.min(masked_rows, axis=0, keepdims=True) + j * bm
+
+    better = tile_min < dist_ref[:]
+    dist_ref[:] = jnp.where(better, tile_min, dist_ref[:])
+    idx_ref[:] = jnp.where(better, tile_arg, idx_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_neighbors_pallas(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_count: jnp.ndarray,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as ``tpuslam.ops.nn.nearest_neighbors_ref``:
+    (i32[N] index of nearest valid target, f32[N] squared distance).
+    Shapes must be lane-padded (multiples of 128), as ``pad_cloud``
+    guarantees."""
+    n, m = src.shape[0], tgt.shape[0]
+    bn = _pick_block(n, (1024, 512, 256, 128))
+    bm = _pick_block(m, (1024, 512, 256, 128))
+    while bn * bm > _MAX_TILE_ELEMS and bn > 128:
+        bn //= 2
+    count = jnp.asarray(tgt_count, jnp.int32).reshape(1)
+
+    grid = (n // bn, m // bm)
+    dist, idx = pl.pallas_call(
+        _nn_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bn, 3), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((bm, 3), lambda i, j, *_: (j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bn), lambda i, j, *_: (0, i)),
+                pl.BlockSpec((1, bn), lambda i, j, *_: (0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=14 * n * m,
+            bytes_accessed=(n * 3 + m * 3 + 2 * n) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(count, src, tgt)
+    return idx.reshape(n), dist.reshape(n)

@@ -33,14 +33,18 @@ def _chunk_nn(
     tgt: jnp.ndarray,
     tgt_invalid: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    a2 = jnp.sum(src_chunk * src_chunk, axis=-1, keepdims=True)
-    b2 = jnp.sum(tgt * tgt, axis=-1, keepdims=True).T
-    d = a2 + b2 - 2.0 * (src_chunk @ tgt.T)
+    # exact f32 per-coordinate form, same value and accumulation order as
+    # the Pallas kernel so argmins agree bitwise.  The algebraic shortcut
+    # |a|^2+|b|^2-2ab cancels catastrophically (NN distances are far below
+    # the norms) and near-tie argmins flip ~10-20% at realistic densities
+    # between formulations — the formulation IS the contract.
+    d = (src_chunk[:, 0:1] - tgt[:, 0][None, :]) ** 2
+    d += (src_chunk[:, 1:2] - tgt[:, 1][None, :]) ** 2
+    d += (src_chunk[:, 2:3] - tgt[:, 2][None, :]) ** 2
     d = jnp.where(tgt_invalid[None, :], BIG, d)
     idx = jnp.argmin(d, axis=1).astype(jnp.int32)
     best = jnp.min(d, axis=1)
-    # the true squared distance can dip slightly negative from cancellation
-    return idx, jnp.maximum(best, 0.0)
+    return idx, best
 
 
 @partial(jax.jit, static_argnames=("chunk",))

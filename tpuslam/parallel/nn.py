@@ -40,9 +40,12 @@ def sharded_nn_combine(
     local_gidx = offset + jnp.arange(shard_size, dtype=jnp.int32)
     invalid = local_gidx >= tgt_count
 
-    a2 = jnp.sum(src * src, axis=-1, keepdims=True)
-    b2 = jnp.sum(tgt_shard * tgt_shard, axis=-1, keepdims=True).T
-    d = a2 + b2 - 2.0 * (src @ tgt_shard.T)
+    # exact f32 per-coordinate form: the |a|^2+|b|^2-2ab shortcut cancels
+    # catastrophically under the TPU's default bf16 matmul passes (see
+    # tpuslam.kernels.pallas_nn module doc)
+    d = (src[:, 0:1] - tgt_shard[:, 0][None, :]) ** 2
+    d += (src[:, 1:2] - tgt_shard[:, 1][None, :]) ** 2
+    d += (src[:, 2:3] - tgt_shard[:, 2][None, :]) ** 2
     d = jnp.where(invalid[None, :], BIG, d)
     il = jnp.argmin(d, axis=1).astype(jnp.int32)
     dl = jnp.maximum(jnp.min(d, axis=1), 0.0)
