@@ -1,0 +1,96 @@
+"""Headline benchmark: ICP iterations/second at 100k points on one chip.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+Baseline: the reference's published GPU number — ICP per-iteration time
+under 100 ms at 100k points on an RTX 2060 SUPER (documentation.tex:407;
+BASELINE.md), i.e. 10 iterations/sec.  ``vs_baseline`` is the speedup
+ratio over that.
+
+Protocol mirrors the reference benchmark settings (spread 10, rotation
+0.2 rad, translation 10 — documentation.tex:397) on a synthetic uniform
+cloud (the reference's >35k-point models are missing blobs, BASELINE.md;
+synthetic scaling is documented there).  Timing includes the full
+per-iteration pipeline: Pallas NN kernel (or jnp fallback off-TPU),
+weighted Procrustes with 3x3 SVD, transform and error — the same work the
+reference times per iteration, minus its 4+ host round-trips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+N_POINTS = 102_400  # 100k, lane-aligned (800 * 128)
+ITERS_PER_CALL = 10
+REPS = 5
+BASELINE_ITERS_PER_SEC = 10.0  # reference GPU: <100 ms/iter @100k
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+
+    from tpuslam.algorithms.icp import icp_register
+    from tpuslam.core.types import pad_cloud
+    from tpuslam.data.synthesis import (
+        get_random_rotation_matrix,
+        get_random_translation_vector,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(666))
+    before = (rng.random((N_POINTS, 3), dtype=np.float64) * 10.0).astype(
+        np.float32
+    )
+    r = get_random_rotation_matrix(rng, 0.2)
+    t = get_random_translation_vector(rng, 10.0)
+    after = (before @ r.T + t)[rng.permutation(N_POINTS)].astype(np.float32)
+
+    cb, ca = pad_cloud(before), pad_cloud(after)
+
+    def run():
+        # eps=0 and no divergence guard force exactly ITERS_PER_CALL
+        # full iterations
+        return icp_register(
+            cb, ca,
+            eps=0.0,
+            max_distance_squared=1e18,
+            max_iterations=ITERS_PER_CALL,
+            divergence_guard=False,
+        )
+
+    # warmup/compile
+    jax.block_until_ready(run())
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        result = run()
+    jax.block_until_ready(result)
+    dt = time.perf_counter() - t0
+
+    iters_per_sec = ITERS_PER_CALL * REPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"icp_iters_per_sec_{N_POINTS // 1024}k_"
+                          f"{jax.default_backend()}",
+                "value": round(iters_per_sec, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(
+                    iters_per_sec / BASELINE_ITERS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -115,3 +115,18 @@ def test_sharded_cpd_matches_single_device(rng, mesh):
     np.testing.assert_allclose(
         float(sharded.error), float(single.error), rtol=0.25, atol=1e-5
     )
+
+
+def test_graft_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip, entry
+
+    dryrun_multichip(8)
+    import jax
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert float(out.error) < 1.0
