@@ -1,0 +1,165 @@
+"""Harness: timer, runner CSV schema, test-set generators, CLI flow
+(SURVEY §2.5, §4 — same oracles as the reference's harness)."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from tpuslam.config.configuration import (
+    ApproximationType,
+    ComputationMethod,
+    Configuration,
+)
+from tpuslam.harness.runner import TestRunner, run_test_set
+from tpuslam.harness.testsets import (
+    get_convergence_test_set,
+    get_object_with_min_size,
+    get_performance_test_set,
+    get_sizes_test_set,
+)
+from tpuslam.harness.timer import Timer
+
+
+def test_timer_accumulates():
+    t = Timer("t")
+    t.start_stage("a")
+    time.sleep(0.02)
+    t.stop_stage("a")
+    t.start_stage("a")
+    time.sleep(0.02)
+    t.stop_stage("a")
+    assert t.get_stage_time("a") >= 30
+    assert "a:" in t.print_results()
+
+
+def test_timer_stage_timed_call_fences_device_work():
+    import jax.numpy as jnp
+
+    t = Timer()
+    out = t.stage_timed_call("x", lambda: jnp.ones((256, 256)) @ jnp.ones((256, 256)))
+    assert float(out[0, 0]) == 256.0
+
+
+def test_sizes_test_set_matches_reference_ladder():
+    icp = get_sizes_test_set(ComputationMethod.Icp)
+    # 1000..100000 step 4000 (testset.cpp:50)
+    assert len(icp) == len(range(1000, 100001, 4000))
+    assert icp[0].cloud_before_resize == 1000
+    assert icp[0].max_iterations == 50
+    assert icp[0].transformation_parameters == (0.2, 10.0)
+    assert icp[0].approximation_type == ApproximationType.NONE
+    assert icp[0].cpd_weight == 0.1
+    cpd = get_sizes_test_set(ComputationMethod.Cpd)
+    assert [c.cloud_before_resize for c in cpd[:3]] == [100, 200, 300]
+
+
+def test_convergence_test_set_shape():
+    cpd = get_convergence_test_set(ComputationMethod.Cpd)
+    # 5 repeats x 5 sizes (4000..20000 step 4000) x 9 combos
+    assert len(cpd) == 5 * 5 * 9
+    combos = {c.transformation_parameters for c in cpd}
+    assert len(combos) == 9
+    assert cpd[0].cpd_tolerance == pytest.approx(1e-4)
+
+
+def test_model_ladder_fallback_to_synthetic():
+    assert get_object_with_min_size(1000) == "data/bunny.obj"
+    assert get_object_with_min_size(20000) == "data/bird.obj"
+    # rose/mustang/airbus are missing blobs -> synthetic
+    assert get_object_with_min_size(100000).startswith("synthetic://")
+
+
+def test_synthetic_cloud_size():
+    from tpuslam.data.loader import load_cloud
+
+    cloud = load_cloud("synthetic://50000")
+    assert cloud.shape == (50000, 3)
+    # deterministic
+    again = load_cloud("synthetic://50000")
+    np.testing.assert_array_equal(cloud, again)
+
+
+def test_runner_csv_schema(tmp_path):
+    out = tmp_path / "out.csv"
+    runner = TestRunner(output_file=str(out))
+    runner.add_test(
+        Configuration(
+            computation_method=ComputationMethod.Icp,
+            before_path="data/bunny.obj",
+            after_path="data/bunny.obj",
+            cloud_before_resize=500,
+            cloud_after_resize=500,
+            cloud_spread=10.0,
+            max_iterations=25,
+            max_distance_squared=10000.0,
+            transformation_parameters=(0.2, 5.0),
+            random_seed=666,
+        )
+    )
+    runner.run_all()
+    runner.close()
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == (
+        "test-no;cloud-size;rotation;translation;time(ms);iterations;error"
+    )
+    fields = lines[1].split(";")
+    assert len(fields) == 7
+    assert fields[0] == "0"
+    assert int(fields[1]) == 500
+    assert float(fields[2]) == pytest.approx(0.2)
+    assert float(fields[3]) == pytest.approx(5.0)
+    assert int(fields[5]) >= 1
+
+
+def test_run_test_set_writes_per_method(tmp_path):
+    def tiny(method):
+        return [
+            Configuration(
+                computation_method=method,
+                before_path="data/bunny.obj",
+                after_path="data/bunny.obj",
+                cloud_before_resize=300,
+                cloud_after_resize=300,
+                cloud_spread=10.0,
+                max_iterations=10,
+                max_distance_squared=10000.0,
+                transformation_parameters=(0.2, 5.0),
+                random_seed=1,
+                cpd_weight=0.1,
+            )
+        ]
+
+    files = run_test_set(
+        tiny, "mini",
+        methods=[ComputationMethod.Icp, ComputationMethod.NoniterativeIcp],
+        output_dir=str(tmp_path),
+    )
+    assert [os.path.basename(f) for f in files] == [
+        "mini-icp.csv", "mini-nicp.csv",
+    ]
+    for f in files:
+        assert len(open(f).read().strip().split("\n")) == 2
+
+
+def test_cli_default_config_runs(capsys):
+    from tpuslam.harness.cli import main
+
+    rc = main([])  # config/default.json: bunny vs bunny, fixed transform
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "method: icp" in captured
+    assert "Transformation matrix:" in captured
+    assert "Error:" in captured
+
+
+def test_cli_visualization_headless(tmp_path, monkeypatch):
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.chdir(tmp_path)
+    from tpuslam.viz.view import show_registration
+
+    rng = np.random.Generator(np.random.PCG64(0))
+    cloud = rng.random((100, 3)).astype(np.float32)
+    path = show_registration(cloud, cloud + 0.5, cloud + 1.0)
+    assert path is not None and os.path.exists(path)

@@ -1,0 +1,102 @@
+"""Command-line entry — the reference's ``Common::Main``
+(``mainwrapper.cpp:5-54``): parse config -> echo -> seed -> build clouds ->
+run the registered algorithm -> print R/t/error -> optional visualization.
+
+Usage (the reference's CLI contract, ``configparser.cpp:11-39``):
+
+    python -m tpuslam [config.json]
+
+plus a ``--test-set`` mode replacing the reference's compile-time ``TEST``
+macro (``gpumain.cpp:40-57`` — SURVEY §2.4 "TEST hook"):
+
+    python -m tpuslam --test-set sizes [--methods icp,nicp,cpd] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from tpuslam.algorithms.registry import run_with_configuration
+from tpuslam.config.configuration import ComputationMethod
+from tpuslam.config.parser import ConfigParser
+from tpuslam.data.synthesis import get_clouds_from_config, transform_cloud
+
+
+def _print_matrix(rotation: np.ndarray, translation: np.ndarray) -> None:
+    """Result echo in the spirit of ``PrintMatrix``
+    (``common.cpp:367-397``)."""
+    for r in range(3):
+        row = " ".join(f"{rotation[r, c]: .6f}" for c in range(3))
+        print(f"{row}  | {translation[r]: .6f}")
+
+
+def run_config(argv: List[str]) -> int:
+    parser = ConfigParser(argv)
+    if not parser.is_correct():
+        print("Aborting!")
+        return 1
+    config = parser.get_configuration()
+    config.print()
+
+    before, after, _ = get_clouds_from_config(config)
+    if len(before) == 0 or len(after) == 0:
+        print("Empty cloud(s) — nothing to register")
+        return 1
+
+    rotation, translation, iterations, error = run_with_configuration(
+        before, after, config
+    )
+    print(f"Results for the {config.computation_method.value} method:")
+    print("Transformation matrix:")
+    _print_matrix(rotation, translation)
+    print(f"Error: {error:f}")
+    print(f"Iterations: {iterations}")
+
+    if config.show_visualisation:
+        from tpuslam.viz.view import show_registration
+
+        transformed = transform_cloud(before, rotation, translation)
+        show_registration(before, after, transformed)
+    return 0
+
+
+def run_test_set_cli(args: List[str]) -> int:
+    from tpuslam.harness.runner import run_test_set
+    from tpuslam.harness.testsets import TEST_SETS
+
+    name = args[0] if args else "sizes"
+    if name not in TEST_SETS:
+        print(f"Unknown test set '{name}'; one of {sorted(TEST_SETS)}")
+        return 1
+    methods = list(ComputationMethod)
+    out_dir = "."
+    rest = args[1:]
+    while rest:
+        flag = rest.pop(0)
+        if flag == "--methods" and rest:
+            methods = [
+                ComputationMethod(m.strip())
+                for m in rest.pop(0).split(",")
+            ]
+        elif flag == "--out" and rest:
+            out_dir = rest.pop(0)
+        else:
+            print(f"Unknown flag {flag}")
+            return 1
+    files = run_test_set(TEST_SETS[name], name, methods, output_dir=out_dir)
+    print("Wrote: " + ", ".join(files))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "--test-set":
+        return run_test_set_cli(argv[1:])
+    return run_config(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
