@@ -174,6 +174,69 @@ def cpd_estep(
     return Sufficient(p1=p1, pt1=pt1_tiles.reshape(n), px=px, error=err)
 
 
+def cpd_estep_fgt(
+    transformed: jnp.ndarray,
+    moving_mask: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    weight: jnp.ndarray,
+    m: jnp.ndarray,
+    n: jnp.ndarray,
+    fgt_k: int,
+    fgt_p: int,
+    ratio_of_far_field: float,
+) -> Sufficient:
+    """FGT-approximated E-step (``ComputePMatrixWithFGT``,
+    ``cpdutils.cpp:19-73``): five Gauss transforms — Kt1 for the
+    denominators, then p1 and the three px columns with 1/denominator
+    weights — batched into one clustering + one 4-weight expansion (the
+    clustering is weight-independent; see ``tpuslam.ops.fgt``).
+
+    ``fgt_k`` is static; the reference resizes it per iteration
+    (``min(N, M, 50 + sigma0^2/sigma^2)``, ``cpdutils.cpp:35``) which XLA
+    cannot, so callers pass a cap at least that large (documented
+    divergence; more centers only tighten the approximation).
+    """
+    from tpuslam.ops.fgt import (
+        FGTModel,
+        compute_fgt_model_multi,
+        fgt_predict,
+        fgt_predict_multi,
+    )
+
+    hsigma = jnp.sqrt(2.0 * sigma2)
+    model_y = compute_fgt_model_multi(
+        transformed, moving_mask[:, None], moving_mask, hsigma, fgt_k, fgt_p
+    )
+    kt1 = fgt_predict(
+        target,
+        FGTModel(centers=model_y.centers, ak=model_y.ak[..., 0]),
+        hsigma, ratio_of_far_field, fgt_p,
+    )
+    ndi = uniform_constant(sigma2, weight, m, n)
+    denom = jnp.maximum(kt1, 0.0) + ndi  # FGT can dip slightly negative
+    inv_denom = target_mask / denom
+    pt1 = (1.0 - ndi / denom) * target_mask
+
+    # one 4-weight model on the target: [1/denom, x/denom, y/denom, z/denom]
+    weights4 = jnp.concatenate(
+        [inv_denom[:, None], target * inv_denom[:, None]], axis=1
+    )
+    model_x = compute_fgt_model_multi(
+        target, weights4, target_mask, hsigma, fgt_k, fgt_p
+    )
+    out = fgt_predict_multi(
+        transformed, model_x, hsigma, ratio_of_far_field, fgt_p
+    )
+    p1 = out[:, 0] * moving_mask
+    px = out[:, 1:4] * moving_mask[:, None]
+
+    err = -jnp.sum(jnp.log(denom) * target_mask)
+    err = err + 3.0 * jnp.sum(target_mask) * jnp.log(sigma2) / 2.0
+    return Sufficient(p1=p1, pt1=pt1, px=px, error=err)
+
+
 class MStepResult(NamedTuple):
     rotation: jnp.ndarray
     translation: jnp.ndarray
@@ -251,7 +314,10 @@ class CPDState(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("const_scale", "approximation_type"),
+    static_argnames=(
+        "const_scale", "approximation_type", "use_fgt",
+        "order_of_truncation", "fgt_k",
+    ),
 )
 def cpd_register(
     before: Cloud,
@@ -264,12 +330,18 @@ def cpd_register(
     approximation_type: ApproximationType = ApproximationType.NONE,
     ratio_of_far_field: float = 10.0,
     order_of_truncation: int = 8,
+    use_fgt: bool = False,
+    fgt_k: int = 64,
 ) -> RegistrationResult:
     """Register ``before`` (the moving GMM centroids) onto ``after``.
 
-    ``ratio_of_far_field`` / ``order_of_truncation`` are accepted for config
-    parity; they parameterize the reference's CPU FGT approximation, which
-    the TPU fast path replaces with exact blocked tiles (see module doc).
+    By default the Full/Hybrid fast path runs the exact blocked E-step
+    with FGT-mode constant semantics (on TPU the exact tiles ARE the fast
+    path — see module doc).  ``use_fgt=True`` runs the reference's actual
+    Fast Gauss Transform approximation (``tpuslam.ops.fgt``) in those
+    phases instead, with ``fgt_k`` centers, truncation order
+    ``order_of_truncation`` and far-field radius ``ratio_of_far_field``
+    (``cpdutils.cpp:33-36``).
     """
     moving = before.points
     target = after.points
@@ -292,32 +364,54 @@ def cpd_register(
             jnp.logical_and(s.ntol > tolerance, s.sigma2 > eps),
         )
 
+    def fgt_stats(transformed, sigma_e):
+        return cpd_estep_fgt(
+            transformed, mask_b, target, mask_a, sigma_e, weight, m, n,
+            min(fgt_k, before.padded_size, after.padded_size),
+            order_of_truncation, ratio_of_far_field,
+        )
+
     def body(s: CPDState) -> CPDState:
         transformed = s.scale * (moving @ s.rotation.T) + s.translation
 
         if approximation_type == ApproximationType.NONE:
-            sigma_e = s.sigma2
-            c_used = c_init
-            trunc = jnp.asarray(False)
+            stats = cpd_estep(
+                transformed, mask_b, target, mask_a, s.sigma2, c_init,
+                jnp.asarray(False),
+            )
         elif approximation_type == ApproximationType.Full:
             # sigma^2 floor (coherentpointdrift.cpp:152-155) and FGT-mode
             # constant from the *current* sigma^2 (cpdutils.cpp:44)
             sigma_e = jnp.maximum(s.sigma2, 0.05)
-            c_used = uniform_constant(sigma_e, weight, m, n)
-            trunc = jnp.asarray(False)
+            if use_fgt:
+                stats = fgt_stats(transformed, sigma_e)
+            else:
+                stats = cpd_estep(
+                    transformed, mask_b, target, mask_a, sigma_e,
+                    uniform_constant(sigma_e, weight, m, n),
+                    jnp.asarray(False),
+                )
         else:  # Hybrid (coherentpointdrift.cpp:157-164)
             fast_now = s.sigma2 > 0.015 * sigma2_0
-            sigma_e = s.sigma2
-            c_used = jnp.where(
-                fast_now,
-                uniform_constant(s.sigma2, weight, m, n),
-                c_init,
-            )
-            trunc = jnp.logical_not(fast_now)
-
-        stats = cpd_estep(
-            transformed, mask_b, target, mask_a, sigma_e, c_used, trunc
-        )
+            if use_fgt:
+                stats = jax.lax.cond(
+                    fast_now,
+                    lambda: fgt_stats(transformed, s.sigma2),
+                    lambda: cpd_estep(
+                        transformed, mask_b, target, mask_a, s.sigma2,
+                        c_init, jnp.asarray(True),
+                    ),
+                )
+            else:
+                c_used = jnp.where(
+                    fast_now,
+                    uniform_constant(s.sigma2, weight, m, n),
+                    c_init,
+                )
+                stats = cpd_estep(
+                    transformed, mask_b, target, mask_a, s.sigma2, c_used,
+                    jnp.logical_not(fast_now),
+                )
         ntol = jnp.abs((stats.error - s.log_likelihood) / stats.error)
         mres = cpd_mstep(moving, target, stats, const_scale, s.scale)
         return CPDState(

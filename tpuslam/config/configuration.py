@@ -87,6 +87,10 @@ class Configuration:
     additional_outliers_after: int = 0
     ratio_of_far_field: float = 10.0  # fgt-ratio-of-far-field
     order_of_truncation: int = 8  # fgt-order-of-truncation
+    # extension (not in the reference config contract): run the real FGT
+    # approximation in CPD full/hybrid phases instead of the exact blocked
+    # fast path
+    cpd_use_fgt: bool = False
 
     def print(self) -> str:
         """Config echo in the spirit of ``configuration.cpp:4-114``."""
@@ -133,6 +137,7 @@ class Configuration:
             f"additional-outliers-after: {self.additional_outliers_after}",
             f"fgt-ratio-of-far-field: {self.ratio_of_far_field}",
             f"fgt-order-of-truncation: {self.order_of_truncation}",
+            f"cpd-use-fgt: {str(self.cpd_use_fgt).lower()}",
         ]
         text = "\n".join(lines)
         print(text)

@@ -203,6 +203,10 @@ class ConfigParser:
         c.additional_outliers_after = int(opt(parsed, "additional-outliers-after", 0))
         c.ratio_of_far_field = float(opt(parsed, "fgt-ratio-of-far-field", 10.0))
         c.order_of_truncation = int(opt(parsed, "fgt-order-of-truncation", 8))
+        # extension key (not in the reference): opt IN to the actual FGT
+        # approximation for CPD full/hybrid phases instead of the exact
+        # blocked fast path (see tpuslam.algorithms.cpd module doc)
+        c.cpd_use_fgt = bool(opt(parsed, "cpd-use-fgt", False))
 
     def _validate(self) -> None:
         if self.config.transformation is None and (
