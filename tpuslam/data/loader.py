@@ -160,6 +160,13 @@ def load_cloud(path: str) -> np.ndarray:
                 pass
             return _load_obj_python(path)
         if ext == ".off":
+            try:
+                from tpuslam.native import bindings as _native
+
+                if _native.available():
+                    return _native.load_off(path)
+            except ImportError:
+                pass
             return _load_off(path)
     except Exception:  # noqa: BLE001 — unparsable => empty, like Assimp failure
         return np.zeros((0, 3), dtype=np.float32)
