@@ -1,0 +1,92 @@
+"""Batched multi-pair registration: each pair's result must equal its
+solo run (the vmap-freeze property of the loop bodies)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_rigid
+from tpuslam.algorithms.batch import (
+    cpd_register_batch,
+    icp_register_batch,
+    nicp_register_batch,
+    stack_clouds,
+)
+from tpuslam.algorithms.icp import icp_register
+from tpuslam.core.types import pad_cloud
+
+
+def make_pairs(rng, sizes, angle=0.2, trans=1.0):
+    befores, afters, truths = [], [], []
+    for n in sizes:
+        b = (rng.random((n, 3)) * 10).astype(np.float32)
+        r, t = random_rigid(rng, angle=angle, trans=trans)
+        a = (b @ r.T + t)[rng.permutation(n)].astype(np.float32)
+        befores.append(b)
+        afters.append(a)
+        truths.append((r, t))
+    return befores, afters, truths
+
+
+def test_icp_batch_matches_solo(rng):
+    befores, afters, truths = make_pairs(rng, [300, 450, 200])
+    batch = icp_register_batch(
+        stack_clouds(befores), stack_clouds(afters), max_iterations=30
+    )
+    for i, (b, a) in enumerate(zip(befores, afters)):
+        solo = icp_register(
+            pad_cloud(b, multiple=512), pad_cloud(a, multiple=512),
+            max_iterations=30, use_pallas=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch.transform.rotation[i]),
+            np.asarray(solo.transform.rotation),
+            atol=1e-5,
+        )
+        assert int(batch.iterations[i]) == int(solo.iterations)
+        # and each recovers its own injected transform
+        r, t = truths[i]
+        rot = np.asarray(batch.transform.rotation[i])
+        tr = np.asarray(batch.transform.translation[i])
+        mse = np.mean(np.sum((b @ rot.T + tr - (b @ r.T + t)) ** 2, -1))
+        assert mse < 1e-3
+
+
+def test_nicp_batch_recovers(rng):
+    befores, afters, truths = make_pairs(rng, [400, 350], angle=0.3)
+    # NICP needs anisotropic clouds
+    befores = [b * np.array([1.0, 0.5, 0.2], np.float32) for b in befores]
+    afters = []
+    for b, (r, t) in zip(befores, truths):
+        afters.append((b @ r.T + t).astype(np.float32))
+    batch = nicp_register_batch(stack_clouds(befores), stack_clouds(afters))
+    for i, (b, (r, t)) in enumerate(zip(befores, truths)):
+        rot = np.asarray(batch.transform.rotation[i])
+        tr = np.asarray(batch.transform.translation[i])
+        mse = np.mean(np.sum((b @ rot.T + tr - (b @ r.T + t)) ** 2, -1))
+        assert mse < 1e-3
+
+
+def test_cpd_batch_recovers(rng):
+    befores, afters, truths = make_pairs(rng, [200, 250], angle=0.2,
+                                         trans=0.5)
+    # const-scale: the free-scale M-step can collapse on this fixture
+    # (same failure solo — the batch faithfully reproduces it)
+    batch = cpd_register_batch(
+        stack_clouds(befores), stack_clouds(afters),
+        weight=0.1, max_iterations=60, tolerance=1e-6, const_scale=True,
+    )
+    for i, (b, (r, t)) in enumerate(zip(befores, truths)):
+        rot = np.asarray(batch.transform.rotation[i])
+        tr = np.asarray(batch.transform.translation[i])
+        s = float(batch.transform.scale[i])
+        mse = np.mean(
+            np.sum((s * (b @ rot.T) + tr - (b @ r.T + t)) ** 2, -1)
+        )
+        assert mse < 5e-3
+
+
+def test_stack_clouds_padding(rng):
+    clouds = [rng.random((n, 3)).astype(np.float32) for n in (50, 300)]
+    stacked = stack_clouds(clouds)
+    assert stacked.points.shape == (2, 384, 3)
+    assert list(np.asarray(stacked.count)) == [50, 300]

@@ -1,0 +1,111 @@
+"""Batched multi-pair registration — register B cloud pairs in one jitted
+call.
+
+New scope vs the reference (single-pair binary; SURVEY §7 step 7 /
+BASELINE "multi-pair batched registration"): production registration
+workloads align many scan pairs at once, and on TPU a ``jax.vmap`` over
+the pair axis turns B registrations into one compiled program whose
+per-pair work batches onto the same kernels (the NN distance tiles and
+CPD E-step tiles simply gain a leading batch dimension).
+
+The underlying while-loops are vmap-safe: their bodies freeze finished
+elements, so each pair's result is identical to a solo run (asserted in
+tests), while the batch keeps stepping until the slowest pair converges.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.algorithms.icp import RegistrationResult, icp_register
+from tpuslam.algorithms.nicp import nicp_register
+from tpuslam.config.configuration import ApproximationType
+from tpuslam.core.types import Cloud, pad_cloud, round_up
+
+
+def stack_clouds(clouds: Sequence[np.ndarray], multiple: int = 128) -> Cloud:
+    """Pad a list of host ``f32[N_i, 3]`` arrays to a common lane-aligned
+    size and stack into a batched Cloud (``points`` f32[B, Npad, 3],
+    ``count`` i32[B])."""
+    if not clouds:
+        raise ValueError("empty cloud batch")
+    npad = max(round_up(max(len(c), 1), multiple) for c in clouds)
+    padded = [pad_cloud(c, multiple=npad) for c in clouds]
+    return Cloud(
+        points=jnp.stack([p.points for p in padded]),
+        count=jnp.stack([p.count for p in padded]),
+    )
+
+
+@partial(jax.jit, static_argnames=("divergence_guard",))
+def icp_register_batch(
+    befores: Cloud,
+    afters: Cloud,
+    eps: float = 1e-3,
+    max_distance_squared: float = 1000.0,
+    max_iterations: int = 50,
+    divergence_guard: bool = True,
+) -> RegistrationResult:
+    """vmapped ``icp_register`` over the leading pair axis."""
+    fn = partial(
+        icp_register,
+        eps=eps,
+        max_distance_squared=max_distance_squared,
+        max_iterations=max_iterations,
+        use_pallas=False,  # batched NN: XLA batches the jnp tiles directly
+        divergence_guard=divergence_guard,
+    )
+    return jax.vmap(fn)(befores, afters)
+
+
+@partial(
+    jax.jit, static_argnames=("approximation_type", "subcloud_size")
+)
+def nicp_register_batch(
+    befores: Cloud,
+    afters: Cloud,
+    eps: float = 1e-3,
+    approximation_type: ApproximationType = ApproximationType.NONE,
+    subcloud_size: int = 1000,
+    seed: int = 0,
+) -> RegistrationResult:
+    """vmapped ``nicp_register`` over the leading pair axis."""
+    fn = partial(
+        nicp_register,
+        eps=eps,
+        approximation_type=approximation_type,
+        subcloud_size=subcloud_size,
+        seed=seed,
+    )
+    return jax.vmap(fn)(befores, afters)
+
+
+@partial(jax.jit, static_argnames=("const_scale", "approximation_type"))
+def cpd_register_batch(
+    befores: Cloud,
+    afters: Cloud,
+    eps: float = 1e-3,
+    weight: float = 0.3,
+    const_scale: bool = False,
+    max_iterations: int = -1,
+    tolerance: float = 1e-3,
+    approximation_type: ApproximationType = ApproximationType.NONE,
+) -> RegistrationResult:
+    """vmapped ``cpd_register`` over the leading pair axis."""
+    from tpuslam.algorithms.cpd import cpd_register
+
+    fn = partial(
+        cpd_register,
+        eps=eps,
+        weight=weight,
+        const_scale=const_scale,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        approximation_type=approximation_type,
+    )
+    return jax.vmap(fn)(befores, afters)

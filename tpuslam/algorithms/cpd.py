@@ -174,6 +174,20 @@ def cpd_estep(
     return Sufficient(p1=p1, pt1=pt1_tiles.reshape(n), px=px, error=err)
 
 
+def cpd_estep_auto(*args, use_pallas=None) -> Sufficient:
+    """Dispatching front: Pallas two-phase kernel on TPU
+    (``tpuslam.kernels.pallas_cpd``), blocked jnp scan elsewhere."""
+    import jax as _jax
+
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() == "tpu"
+    if use_pallas:
+        from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
+
+        return cpd_estep_pallas(*args)
+    return cpd_estep(*args)
+
+
 def cpd_estep_fgt(
     transformed: jnp.ndarray,
     moving_mask: jnp.ndarray,
@@ -372,10 +386,18 @@ def cpd_register(
         )
 
     def body(s: CPDState) -> CPDState:
+        new_s = _body(s)
+        # freeze finished problems for vmap (see icp.py body note)
+        keep = cond(s)
+        return jax.tree.map(
+            lambda old, new: jnp.where(keep, new, old), s, new_s
+        )
+
+    def _body(s: CPDState) -> CPDState:
         transformed = s.scale * (moving @ s.rotation.T) + s.translation
 
         if approximation_type == ApproximationType.NONE:
-            stats = cpd_estep(
+            stats = cpd_estep_auto(
                 transformed, mask_b, target, mask_a, s.sigma2, c_init,
                 jnp.asarray(False),
             )
@@ -386,7 +408,7 @@ def cpd_register(
             if use_fgt:
                 stats = fgt_stats(transformed, sigma_e)
             else:
-                stats = cpd_estep(
+                stats = cpd_estep_auto(
                     transformed, mask_b, target, mask_a, sigma_e,
                     uniform_constant(sigma_e, weight, m, n),
                     jnp.asarray(False),
@@ -397,7 +419,7 @@ def cpd_register(
                 stats = jax.lax.cond(
                     fast_now,
                     lambda: fgt_stats(transformed, s.sigma2),
-                    lambda: cpd_estep(
+                    lambda: cpd_estep_auto(
                         transformed, mask_b, target, mask_a, s.sigma2,
                         c_init, jnp.asarray(True),
                     ),
@@ -408,7 +430,7 @@ def cpd_register(
                     uniform_constant(s.sigma2, weight, m, n),
                     c_init,
                 )
-                stats = cpd_estep(
+                stats = cpd_estep_auto(
                     transformed, mask_b, target, mask_a, s.sigma2, c_used,
                     jnp.logical_not(fast_now),
                 )

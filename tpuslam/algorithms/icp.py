@@ -79,6 +79,16 @@ def icp_register(
         )
 
     def body(s: ICPState) -> ICPState:
+        new_s = _body(s)
+        # freeze finished problems: under vmap the while_loop keeps
+        # applying the body until EVERY batch element's cond is false, so
+        # an already-converged element must pass through unchanged
+        keep = cond(s)
+        return jax.tree.map(
+            lambda old, new: jnp.where(keep, new, old), s, new_s
+        )
+
+    def _body(s: ICPState) -> ICPState:
         transformed = before.points @ s.rotation.T + s.translation
         idx, dist = nearest_neighbors(
             transformed, after.points, after.count, use_pallas=use_pallas

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpuslam.algorithms.cpd import (
     CPDState,
-    cpd_estep,
+    cpd_estep_auto,
     uniform_constant,
 )
 from tpuslam.algorithms.icp import RegistrationResult
@@ -64,7 +64,7 @@ def _build(mesh: Mesh, const_scale: bool,
         c_init = uniform_constant(sigma2_0, weight, m, n)
 
         def estep_psum(transformed, sigma2, c_used, trunc):
-            local = cpd_estep(
+            local = cpd_estep_auto(
                 transformed, mask_b, tgt_shard, mask_a, sigma2, c_used,
                 trunc,
             )
