@@ -9,32 +9,33 @@ sufficient-statistics memory strategy, ``cudaprobabilities.h:19-30``):
 
 * **Phase 1 (denominators)**: grid (target tiles x moving tiles), the
   running ``denom[j] = sum_k exp(-d_kj^2 / 2 sigma^2) + c`` accumulated in
-  a lane-aligned ``[1, N]`` output across moving tiles.
+  a lane-aligned ``[1, N]`` output across moving tiles (targets on lanes,
+  moving points on sublanes — the inner reduction is a sublane sum).
 * **Phase 2 (moments)**: grid (moving tiles x target tiles), accumulating
-  ``[p1, px] = G @ [1/denom, x/denom]`` into a ``[BM, 4]`` block — the
-  Gaussian tile is recomputed (flash-attention-style recompute beats
-  spilling an N x M intermediate to HBM).
+  ``[p1, px] = G @ [1/denom, x/denom]`` into a ``[4, BM]`` block (moving
+  points on lanes) as four sublane-sum reductions.  The Gaussian tile is
+  recomputed — flash-attention-style recompute beats spilling an N x M
+  intermediate to HBM.
 
-Numerics mirror ``tpuslam.kernels.pallas_nn``: squared distances use the
-exact per-coordinate FMA form (the matmul shortcut's bf16-pass
-cancellation noise is fatal here too — the exponent divides by
-``2 sigma^2`` which shrinks to ~1e-3 at convergence), and the 4-column
-contraction in phase 2 runs as four lane-broadcast FMA reductions, not a
-skinny MXU matmul.  Raw ``exp`` is safe: exponents are <= 0 and the
-denominator is floored by the uniform constant
+Layout rules follow ``tpuslam.kernels.pallas_nn``: each operand enters in
+the layout whose coordinate slices are free — the sublane-side cloud as
+``[P, 3]``, the lane-side cloud TRANSPOSED as ``[3, P]`` (a lane-axis
+column slice rebroadcast across lanes costs a relayout per tile, measured
+~10x).  Distances use the exact-f32 per-coordinate FMA form (the matmul
+shortcut's bf16-pass cancellation noise is fatal: the exponent divides by
+``2 sigma^2`` ~ 1e-3 at convergence), and raw ``exp`` is safe — exponents
+are <= 0 and the denominator is floored by the uniform constant
 (``coherentpointdrift.cpp:204``).
 
-Padded moving rows are handled by the caller placing them at a far
-sentinel coordinate (their Gaussian underflows to exactly 0); padded
-target columns are masked by the caller via the ``weights4`` input and
-the pt1/error masks.
+Padded moving rows are placed at a far sentinel coordinate (their
+Gaussian underflows to exactly 0); padded target columns carry zero
+weights and are masked out of pt1/error.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,27 +44,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuslam.algorithms.cpd import Sufficient
 
+# [BM, BN] f32 Gaussian tile + temporaries
 _MAX_TILE_ELEMS = 1024 * 1024
-LOG_TRUNC_DEFAULT = math.log(1e-3)
 
 # moving-cloud padding sentinel: far enough that exp underflows to 0 for
 # any plausible sigma, near enough that d^2 stays finite in f32
 SENTINEL = 1e15
 
 
-def _pick_block(n: int, prefer: Tuple[int, ...] = (512, 256, 128)) -> int:
+def _pick_block(n: int, prefer=(1024, 512, 256, 128)) -> int:
     for b in prefer:
         if n % b == 0:
             return b
     return n
 
 
-def _gauss_tile(y, x, mult, trunc_flag, log_trunc):
-    """exp(mult * d^2) for a [BM_y, BN_x] tile, exact-FMA distances,
-    optional truncation (``coherentpointdrift.cpp:191-196``)."""
-    d = (y[:, 0:1] - x[:, 0][None, :]) ** 2
-    d += (y[:, 1:2] - x[:, 1][None, :]) ** 2
-    d += (y[:, 2:3] - x[:, 2][None, :]) ** 2
+def _gauss(sub, lanes_T, mult, trunc_flag, log_trunc):
+    """exp(mult * d^2) tile: ``sub`` [BP, 3] on sublanes, ``lanes_T``
+    [3, BQ] on lanes; optional truncation
+    (``coherentpointdrift.cpp:191-196``)."""
+    d = (sub[:, 0:1] - lanes_T[0:1, :]) ** 2
+    d += (sub[:, 1:2] - lanes_T[1:2, :]) ** 2
+    d += (sub[:, 2:3] - lanes_T[2:3, :]) ** 2
     expo = mult * d
     g = jnp.exp(expo)
     return jnp.where(
@@ -71,38 +73,31 @@ def _gauss_tile(y, x, mult, trunc_flag, log_trunc):
     )
 
 
-def _denom_kernel(scalar_ref, ty_ref, x_ref, denom_ref):
+def _denom_kernel(sc_ref, ty_ref, xT_ref, denom_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         # init with the uniform-component constant c
-        denom_ref[:] = jnp.full_like(denom_ref, scalar_ref[1])
+        denom_ref[:] = jnp.full_like(denom_ref, sc_ref[1])
 
-    g = _gauss_tile(
-        ty_ref[:], x_ref[:], scalar_ref[0], scalar_ref[2], scalar_ref[3]
-    )
+    g = _gauss(ty_ref[:], xT_ref[:], sc_ref[0], sc_ref[2], sc_ref[3])
     denom_ref[:] += jnp.sum(g, axis=0, keepdims=True)
 
 
-def _moments_kernel(scalar_ref, ty_ref, x_ref, w_ref, acc_ref):
+def _moments_kernel(sc_ref, x_ref, tyT_ref, w_ref, acc_ref):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    g = _gauss_tile(
-        ty_ref[:], x_ref[:], scalar_ref[0], scalar_ref[2], scalar_ref[3]
-    )  # [BM, BN]
-    w = w_ref[:]  # [BN, 4]
-    # four lane-broadcast FMA reductions (exact f32; a [BM,BN]x[BN,4]
-    # MXU matmul would run bf16 passes)
-    cols = [
-        jnp.sum(g * w[:, c][None, :], axis=1, keepdims=True)
-        for c in range(4)
+    g = _gauss(x_ref[:], tyT_ref[:], sc_ref[0], sc_ref[2], sc_ref[3])
+    w = w_ref[:]  # [BN, 4] — target weights, column slices on sublanes
+    rows = [
+        jnp.sum(g * w[:, c:c + 1], axis=0, keepdims=True) for c in range(4)
     ]
-    acc_ref[:] += jnp.concatenate(cols, axis=1)
+    acc_ref[:] += jnp.concatenate(rows, axis=0)  # [4, BM]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -144,7 +139,7 @@ def cpd_estep_pallas(
             grid=(n // bn, m // bm),
             in_specs=[
                 pl.BlockSpec((bm, 3), lambda i, j, *_: (j, 0)),
-                pl.BlockSpec((bn, 3), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((3, bn), lambda i, j, *_: (0, i)),
             ],
             out_specs=pl.BlockSpec((1, bn), lambda i, j, *_: (0, i)),
         ),
@@ -155,7 +150,7 @@ def cpd_estep_pallas(
             transcendentals=n * m,
         ),
         interpret=interpret,
-    )(scalars, ty, target).reshape(n)
+    )(scalars, ty, target.T).reshape(n)
 
     pt1 = (1.0 - constant / denom) * target_mask
     inv_denom = target_mask / denom
@@ -169,23 +164,23 @@ def cpd_estep_pallas(
             num_scalar_prefetch=1,
             grid=(m // bm, n // bn),
             in_specs=[
-                pl.BlockSpec((bm, 3), lambda j, i, *_: (j, 0)),
                 pl.BlockSpec((bn, 3), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((3, bm), lambda j, i, *_: (0, j)),
                 pl.BlockSpec((bn, 4), lambda j, i, *_: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((bm, 4), lambda j, i, *_: (j, 0)),
+            out_specs=pl.BlockSpec((4, bm), lambda j, i, *_: (0, j)),
         ),
-        out_shape=jax.ShapeDtypeStruct((m, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, m), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=20 * n * m,
             bytes_accessed=(n * 7 + m * 7) * 4,
             transcendentals=n * m,
         ),
         interpret=interpret,
-    )(scalars, ty, target, weights4)
+    )(scalars, target, ty.T, weights4)
 
-    p1 = acc[:, 0] * moving_mask
-    px = acc[:, 1:4] * moving_mask[:, None]
+    p1 = acc[0, :] * moving_mask
+    px = acc[1:4, :].T * moving_mask[:, None]
     n_valid = jnp.sum(target_mask)
     err = (
         -jnp.sum(jnp.log(denom) * target_mask)

@@ -5,18 +5,24 @@ kernel (one thread per source point serially scanning all M targets,
 ``cudacommon.cu:57-77``): a 2-D grid over (source tiles x target tiles);
 each step evaluates a ``[BM, BN]`` squared-distance tile and folds a
 running (min, argmin) accumulator held in the lane-aligned ``[1, N]``
-output refs across target tiles.  The tile is laid out targets-on-sublanes
-/ sources-on-lanes so the per-source reduction is a sublane min.
+output refs across target tiles.
 
-Numerics: distances are computed as ``sum_k (t_k - s_k)^2`` with three
-broadcast FMA chains — exact f32.  The algebraically equivalent
-``|t|^2 + |s|^2 - 2 t.s`` form would ride the MXU but catastrophically
-cancels: nearest-neighbor distances are orders of magnitude below the
-norms, and the MXU's bf16-pass products (default precision) swamp them
-entirely (measured: argmin agreement 8% at 131k points, spread 10).  The
-exact form measures at VPU speed-of-light (~14 ops/element), which for a
-3-D distance tile is the true bound — the matmul shortcut only helps when
-its precision is acceptable, and here it is not.
+Layout rules (measured 4x on v5e):
+
+* targets ride the sublanes (their per-source reduction is a cheap
+  sublane min) and sources the lanes;
+* each operand enters in the layout whose coordinate slices are free —
+  targets as ``[M, 3]`` (``t[:, c:c+1]`` is a sublane vector) and sources
+  TRANSPOSED as ``[3, N]`` (``sT[c:c+1, :]`` is a lane vector).  Slicing a
+  lane-axis column out of an ``[N, 3]`` block and rebroadcasting it across
+  lanes forces a relayout every tile and dominates the kernel (~8x
+  overhead measured).
+
+Numerics: distances use the exact-f32 per-coordinate FMA form.  The
+algebraic ``|t|^2+|s|^2-2ts`` shortcut would ride the MXU but cancels
+catastrophically — NN distances sit far below the norms, and the MXU's
+bf16-pass products swamp them (measured: argmin agreement 8% at 131k
+points, spread 10).
 
 Tie-breaking matches the reference's strict ``<`` scan
 (``common.cpp:416``): within a tile the emulated argmin keeps the lowest
@@ -39,8 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.4e38  # Python literals: jnp scalars would be captured consts
 IMAX = 2**31 - 1
 
-# keep the [BM, BN] f32 distance tile + temporaries well under ~16 MB VMEM
-_MAX_TILE_ELEMS = 1024 * 1024
+# [BM, BN] f32 distance tile + argmin temporaries; 2048x1024 measured best
+# on v5e within the VMEM budget
+_MAX_TILE_ELEMS = 2048 * 1024
 
 
 def _pick_block(n: int, prefer: Tuple[int, ...]) -> int:
@@ -50,22 +57,21 @@ def _pick_block(n: int, prefer: Tuple[int, ...]) -> int:
     return n
 
 
-def _nn_kernel(count_ref, src_ref, tgt_ref, dist_ref, idx_ref):
+def _nn_kernel(count_ref, srcT_ref, tgt_ref, dist_ref, idx_ref):
     j = pl.program_id(1)
     bm = tgt_ref.shape[0]
-    bn = src_ref.shape[0]
+    bn = srcT_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
         dist_ref[:] = jnp.full_like(dist_ref, BIG)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    s = src_ref[:]  # [BN, 3]
-    t = tgt_ref[:]  # [BM, 3]
-    # exact f32 distance tile, targets on sublanes / sources on lanes
-    d = (t[:, 0:1] - s[:, 0][None, :]) ** 2
-    d += (t[:, 1:2] - s[:, 1][None, :]) ** 2
-    d += (t[:, 2:3] - s[:, 2][None, :]) ** 2
+    sT = srcT_ref[:]  # [3, BN] — sources on lanes
+    t = tgt_ref[:]  # [BM, 3] — targets on sublanes
+    d = (t[:, 0:1] - sT[0:1, :]) ** 2
+    d += (t[:, 1:2] - sT[1:2, :]) ** 2
+    d += (t[:, 2:3] - sT[2:3, :]) ** 2
 
     valid = (
         j * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
@@ -95,7 +101,7 @@ def nearest_neighbors_pallas(
     Shapes must be lane-padded (multiples of 128), as ``pad_cloud``
     guarantees."""
     n, m = src.shape[0], tgt.shape[0]
-    bn = _pick_block(n, (1024, 512, 256, 128))
+    bn = _pick_block(n, (2048, 1024, 512, 256, 128))
     bm = _pick_block(m, (1024, 512, 256, 128))
     while bn * bm > _MAX_TILE_ELEMS and bn > 128:
         bn //= 2
@@ -108,7 +114,7 @@ def nearest_neighbors_pallas(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bn, 3), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((3, bn), lambda i, j, *_: (0, i)),
                 pl.BlockSpec((bm, 3), lambda i, j, *_: (j, 0)),
             ],
             out_specs=[
@@ -126,5 +132,5 @@ def nearest_neighbors_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(count, src, tgt)
+    )(count, src.T, tgt)
     return idx.reshape(n), dist.reshape(n)
