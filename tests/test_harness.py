@@ -163,3 +163,51 @@ def test_cli_visualization_headless(tmp_path, monkeypatch):
     cloud = rng.random((100, 3)).astype(np.float32)
     path = show_registration(cloud, cloud + 0.5, cloud + 1.0)
     assert path is not None and os.path.exists(path)
+
+
+def test_runner_jsonl_logging(tmp_path):
+    import json
+
+    out = tmp_path / "runs.jsonl"
+    runner = TestRunner(jsonl_path=str(out))
+    runner.add_test(
+        Configuration(
+            computation_method=ComputationMethod.Icp,
+            before_path="data/bunny.obj",
+            after_path="data/bunny.obj",
+            cloud_before_resize=200,
+            cloud_after_resize=200,
+            cloud_spread=10.0,
+            max_iterations=10,
+            max_distance_squared=10000.0,
+            transformation_parameters=(0.2, 5.0),
+            random_seed=7,
+        )
+    )
+    runner.run_all()
+    rec = json.loads(out.read_text().strip())
+    assert rec["method"] == "icp"
+    assert rec["cloud_sizes"] == [200, 200]
+    assert len(rec["rotation"]) == 9
+    assert rec["iterations"] >= 1
+    assert "test" in rec["timings_ms"]
+
+
+def test_verbose_iteration_telemetry(capfd):
+    import numpy as np
+
+    from tpuslam.algorithms.icp import icp_register
+    from tpuslam.core.types import pad_cloud
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    b = (rng.random((200, 3)) * 10).astype(np.float32)
+    a = (b + 0.1).astype(np.float32)
+    r = icp_register(
+        pad_cloud(b), pad_cloud(a), max_iterations=3, verbose=True
+    )
+    import jax
+
+    jax.block_until_ready(r)
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "loop_nr" in out.out or "loop_nr" in out.err

@@ -330,7 +330,7 @@ class CPDState(NamedTuple):
     jax.jit,
     static_argnames=(
         "const_scale", "approximation_type", "use_fgt",
-        "order_of_truncation", "fgt_k",
+        "order_of_truncation", "fgt_k", "verbose",
     ),
 )
 def cpd_register(
@@ -346,6 +346,7 @@ def cpd_register(
     order_of_truncation: int = 8,
     use_fgt: bool = False,
     fgt_k: int = 64,
+    verbose: bool = False,
 ) -> RegistrationResult:
     """Register ``before`` (the moving GMM centroids) onto ``after``.
 
@@ -436,6 +437,13 @@ def cpd_register(
                 )
         ntol = jnp.abs((stats.error - s.log_likelihood) / stats.error)
         mres = cpd_mstep(moving, target, stats, const_scale, s.scale)
+        if verbose:
+            # the reference's per-iteration printf
+            # (coherentpointdrift.cpp:121: "loop_nr %d, error: %f")
+            jax.debug.print(
+                "loop_nr {i}, error: {e}",
+                i=s.iterations + 1, e=mres.sigma2,
+            )
         return CPDState(
             rotation=mres.rotation,
             translation=mres.translation,

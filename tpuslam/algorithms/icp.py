@@ -55,7 +55,7 @@ class RegistrationResult(NamedTuple):
     error: jnp.ndarray  # f32[]
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "divergence_guard"))
+@partial(jax.jit, static_argnames=("use_pallas", "divergence_guard", "verbose"))
 def icp_register(
     before: Cloud,
     after: Cloud,
@@ -64,6 +64,7 @@ def icp_register(
     max_iterations: int = 50,
     use_pallas: Optional[bool] = None,
     divergence_guard: bool = True,
+    verbose: bool = False,
 ) -> RegistrationResult:
     """Register ``before`` onto ``after``; returns (R, t) with
     ``after ≈ R @ before + t`` plus iteration count and final MSE."""
@@ -123,6 +124,11 @@ def icp_register(
         # the reference increments only when the loop continues
         iterations = jnp.where(done, s.iterations, s.iterations + 1)
 
+        if verbose:
+            # the reference's per-iteration printf (basicicp.cpp:50)
+            jax.debug.print(
+                "loop_nr {i}, error: {e}", i=s.iterations + 1, e=err
+            )
         keep_going = jnp.logical_not(done)
         return ICPState(
             rotation=rotation,

@@ -25,6 +25,7 @@ class TestRunner:
         self,
         compute_function: Optional[SlamFunc] = None,
         output_file: str = "",
+        jsonl_path: str = "",
     ):
         self.compute_function = compute_function or (
             lambda before, after, config: run_with_configuration(
@@ -35,6 +36,11 @@ class TestRunner:
         self.tests: List[Configuration] = []
         self.current_test_index = 0
         self.rows: List[str] = []
+        self.run_logger = None
+        if jsonl_path:
+            from tpuslam.harness.logging import RunLogger
+
+            self.run_logger = RunLogger(jsonl_path)
         self._fh = None
         if output_file:
             self._fh = open(output_file, "w")
@@ -76,6 +82,17 @@ class TestRunner:
         rotation, translation, iterations, error = result
         timer.print_results()
         print(f"Error: {error:f}")
+
+        if self.run_logger is not None:
+            from tpuslam.harness.logging import result_record
+
+            self.run_logger.log(
+                result_record(
+                    configuration, rotation, translation, iterations, error,
+                    cloud_sizes=(len(before), len(after)),
+                    timings_ms={"test": timer.get_stage_time("test")},
+                )
+            )
 
         tp = configuration.transformation_parameters
         self._write(

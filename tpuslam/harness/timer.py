@@ -65,6 +65,14 @@ class Timer:
         stage = self.stages.get(name)
         return int(stage.milliseconds_elapsed) if stage else 0
 
+    def profiled(self, log_dir: str):
+        """Context manager wrapping ``jax.profiler.trace`` — the TPU
+        analog of the reference's Nsight-style stream inspection
+        (``documentation.tex:192``); view with TensorBoard/XProf."""
+        import jax
+
+        return jax.profiler.trace(log_dir)
+
     def print_results(self) -> str:
         lines = [f"{self.timer_name} results:"]
         for name, stage in self.stages.items():
