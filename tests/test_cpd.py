@@ -191,3 +191,23 @@ def test_padding_invariance(rng):
         atol=1e-4,
     )
     assert int(res_a.iterations) == int(res_b.iterations)
+
+
+def test_history_trace(rng):
+    before = (rng.random((150, 3)) * 4.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.15, trans=0.3)
+    after = (before @ r.T + t).astype(np.float32)
+    result = cpd_register(
+        pad_cloud(before), pad_cloud(after),
+        weight=0.1, max_iterations=20, tolerance=1e-6,
+        record_history=True, history_length=64,
+    )
+    hist = np.asarray(result.history)
+    iters = int(result.iterations)
+    assert hist.shape == (64, 4)
+    assert iters >= 2
+    # recorded sigma2 per iteration, NaN past the final iteration
+    assert np.all(np.isfinite(hist[:iters]))
+    assert np.all(np.isnan(hist[iters:]))
+    # last recorded sigma2 equals the reported error
+    assert hist[iters - 1, 0] == pytest.approx(float(result.error))

@@ -130,3 +130,25 @@ def test_graft_dryrun_multichip():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert float(out.error) < 1.0
+
+
+def test_sharded_nicp_recovers(rng, mesh):
+    from tpuslam.parallel.nicp import nicp_register_sharded
+
+    before = (rng.random((600, 3)).astype(np.float32) - 0.5) * np.array(
+        [10.0, 4.0, 1.5], dtype=np.float32
+    )
+    r, t = random_rigid(rng, angle=0.4, trans=5.0)
+    after = (before @ r.T + t)[rng.permutation(600)].astype(np.float32)
+    result = nicp_register_sharded(
+        replicate_cloud(before, mesh), shard_cloud(after, mesh), mesh,
+        seed=3,
+    )
+    rot = np.asarray(result.transform.rotation)
+    trans = np.asarray(result.transform.translation)
+    assert np.linalg.det(rot) == pytest.approx(1.0, abs=1e-3)
+    mse = np.mean(
+        np.sum((before @ rot.T + trans - (before @ r.T + t)) ** 2, -1)
+    )
+    assert mse < 1e-3
+    assert int(result.iterations) == 4

@@ -1,0 +1,131 @@
+"""Comprehensive benchmark report vs the reference's published numbers
+(BASELINE.md).  Writes ``bench_report.json`` and prints a table.
+
+Rows mirror the reference's headline claims:
+* ICP per-iteration time at 100k points (ref GPU: < 100 ms),
+* NICP full run at >1M points, 64 reps / subcloud 1000 (ref GPU: < 500 ms),
+* CPD E-step time at 20k (ref GPU E-step: a host loop of 20480 kernel
+  launches; no number published — measured for the record),
+* NN kernel time at 100k x 100k (the ICP hot loop).
+
+Large clouds are synthetic (the >35k reference models are missing blobs —
+BASELINE.md).  Run on the TPU: ``python tools/bench_report.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+
+
+def timeit(fn, reps=5):
+    import jax
+
+    jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuslam.algorithms.icp import icp_register
+    from tpuslam.algorithms.nicp import nicp_register
+    from tpuslam.algorithms.cpd import (
+        cpd_estep_auto,
+        sigma_squared_init,
+        uniform_constant,
+    )
+    from tpuslam.core.types import pad_cloud
+    from tpuslam.data.synthesis import (
+        get_random_rotation_matrix,
+        get_random_translation_vector,
+    )
+    from tpuslam.ops.nn import nearest_neighbors
+
+    rng = np.random.Generator(np.random.PCG64(666))
+    backend = jax.default_backend()
+    report = {"backend": backend, "device": str(jax.devices()[0])}
+
+    def make_pair(n, angle=0.2, trans=10.0):
+        before = (rng.random((n, 3), dtype=np.float64) * 10.0).astype(
+            np.float32
+        )
+        r = get_random_rotation_matrix(rng, angle)
+        t = get_random_translation_vector(rng, trans)
+        after = (before @ r.T + t)[rng.permutation(n)].astype(np.float32)
+        return pad_cloud(before), pad_cloud(after)
+
+    # --- NN kernel @ 100k x 100k -----------------------------------------
+    cb, ca = make_pair(102_400)
+    dt = timeit(
+        lambda: nearest_neighbors(cb.points, ca.points, ca.count)[1]
+    )
+    report["nn_100k_ms"] = round(dt * 1000, 2)
+
+    # --- ICP per-iteration @ 100k (ref GPU < 100 ms) ---------------------
+    iters = 10
+    dt = timeit(
+        lambda: icp_register(
+            cb, ca, eps=0.0, max_distance_squared=1e18,
+            max_iterations=iters, divergence_guard=False,
+        ),
+        reps=3,
+    )
+    report["icp_iter_100k_ms"] = round(dt / iters * 1000, 2)
+    report["icp_iters_per_sec_100k"] = round(iters / dt, 2)
+    report["icp_vs_ref_gpu_100ms_per_iter"] = round(
+        0.1 / (dt / iters), 2
+    )
+
+    # --- NICP full run @ 1.05M (ref GPU < 500 ms) ------------------------
+    nb, na = make_pair(1_048_576)
+    dt = timeit(
+        lambda: nicp_register(nb, na, subcloud_size=1000, seed=1), reps=3
+    )
+    report["nicp_full_run_1M_ms"] = round(dt * 1000, 2)
+    report["nicp_vs_ref_gpu_500ms"] = round(0.5 / dt, 2)
+
+    # --- CPD E-step @ 20k x 20k ------------------------------------------
+    mb, ma = make_pair(20_480, trans=1.0)
+    s2 = sigma_squared_init(mb.points, mb.mask(), ma.points, ma.mask())
+    c = uniform_constant(
+        s2, jnp.float32(0.1), jnp.float32(20_480), jnp.float32(20_480)
+    )
+    fn = jax.jit(
+        lambda ty: cpd_estep_auto(
+            ty, mb.mask(), ma.points, ma.mask(), s2, c, jnp.asarray(False)
+        )
+    )
+    dt = timeit(lambda: fn(mb.points))
+    report["cpd_estep_20k_ms"] = round(dt * 1000, 2)
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_report.json",
+    )
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=2)
+    for k, v in report.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -330,7 +330,8 @@ class CPDState(NamedTuple):
     jax.jit,
     static_argnames=(
         "const_scale", "approximation_type", "use_fgt",
-        "order_of_truncation", "fgt_k", "verbose",
+        "order_of_truncation", "fgt_k", "verbose", "record_history",
+        "history_length",
     ),
 )
 def cpd_register(
@@ -347,6 +348,8 @@ def cpd_register(
     use_fgt: bool = False,
     fgt_k: int = 64,
     verbose: bool = False,
+    record_history: bool = False,
+    history_length: int = 256,
 ) -> RegistrationResult:
     """Register ``before`` (the moving GMM centroids) onto ``after``.
 
@@ -463,7 +466,28 @@ def cpd_register(
         ntol=tolerance + 10.0,
         iterations=jnp.int32(0),
     )
-    final = jax.lax.while_loop(cond, body, init)
+    if record_history:
+        # per-iteration (sigma2, ntol, log-likelihood, scale) ring — the
+        # reference's printf telemetry (coherentpointdrift.cpp:121) as
+        # data (SURVEY §5.4: dump per-iteration state for debuggability)
+        def cond_h(carry):
+            return cond(carry[0])
+
+        def body_h(carry):
+            s, hist = carry
+            new_s = body(s)
+            row = jnp.stack(
+                [new_s.sigma2, new_s.ntol, new_s.log_likelihood,
+                 new_s.scale]
+            )
+            slot = jnp.minimum(s.iterations, history_length - 1)
+            return new_s, hist.at[slot].set(row)
+
+        hist0 = jnp.full((history_length, 4), jnp.nan, jnp.float32)
+        final, history = jax.lax.while_loop(cond_h, body_h, (init, hist0))
+    else:
+        history = None
+        final = jax.lax.while_loop(cond, body, init)
     return RegistrationResult(
         transform=RigidTransform(
             rotation=final.rotation,
@@ -472,4 +496,5 @@ def cpd_register(
         ),
         iterations=final.iterations,
         error=final.sigma2,  # the reference reports sigma^2 as "error"
+        history=history,
     )

@@ -53,6 +53,9 @@ class RegistrationResult(NamedTuple):
     transform: RigidTransform
     iterations: jnp.ndarray  # i32[]
     error: jnp.ndarray  # f32[]
+    # optional per-iteration trace (CPD: [H, 4] of sigma2/ntol/L/scale),
+    # populated only by the record_history paths (SURVEY §5.4 debuggability)
+    history: Optional[jnp.ndarray] = None
 
 
 @partial(jax.jit, static_argnames=("use_pallas", "divergence_guard", "verbose"))
