@@ -54,27 +54,34 @@ def main() -> None:
     t = get_random_translation_vector(rng, 10.0)
     after = (before @ r.T + t)[rng.permutation(N_POINTS)].astype(np.float32)
 
+    from tpuslam.core.types import Cloud
+
     cb, ca = pad_cloud(before), pad_cloud(after)
 
-    def run():
-        # eps=0 and no divergence guard force exactly ITERS_PER_CALL
-        # full iterations
+    def run(i):
+        # eps=0 and no divergence guard force exactly ITERS_PER_CALL full
+        # iterations; the tiny input perturbation defeats whole-execution
+        # deduplication in the dispatch relay (identical calls can be
+        # served from cache, inflating the rate)
         return icp_register(
-            cb, ca,
+            Cloud(cb.points * (1.0 + 1e-5 * i), cb.count), ca,
             eps=0.0,
             max_distance_squared=1e18,
             max_iterations=ITERS_PER_CALL,
             divergence_guard=False,
         )
 
-    # warmup/compile
-    jax.block_until_ready(run())
+    # warmup/compile — a value READ, not block_until_ready: on relayed
+    # backends only a device->host read reliably drains the execution
+    # queue, and timing must bracket real completion
+    float(run(0).error)
 
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        result = run()
-    jax.block_until_ready(result)
+    for i in range(1, REPS + 1):
+        result = run(i)
+    final_error = float(result.error)
     dt = time.perf_counter() - t0
+    del final_error
 
     iters_per_sec = ITERS_PER_CALL * REPS / dt
     print(

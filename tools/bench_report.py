@@ -29,15 +29,29 @@ os.environ.setdefault(
 )
 
 
-def timeit(fn, reps=5):
-    import jax
+def read_scalar(value):
+    """Force a device->host read — on relayed backends only a read
+    reliably waits for completion (block_until_ready can return before
+    the queued execution drains)."""
+    import numpy as np
 
-    jax.block_until_ready(fn())
+    leaf = value
+    while isinstance(leaf, (tuple, list)):
+        leaf = leaf[0]
+    arr = np.asarray(leaf)
+    return float(arr.reshape(-1)[0])
+
+
+def timeit(fn, reps=5):
+    """fn(i) -> device value; i perturbs the input each rep so the relay
+    cannot serve cached results; the final read drains the FIFO queue so
+    the bracket covers every rep."""
+    read_scalar(fn(0))
     t0 = time.perf_counter()
     out = None
-    for _ in range(reps):
-        out = fn()
-    jax.block_until_ready(out)
+    for i in range(1, reps + 1):
+        out = fn(i)
+    read_scalar(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -53,7 +67,7 @@ def main() -> None:
         sigma_squared_init,
         uniform_constant,
     )
-    from tpuslam.core.types import pad_cloud
+    from tpuslam.core.types import Cloud, pad_cloud
     from tpuslam.data.synthesis import (
         get_random_rotation_matrix,
         get_random_translation_vector,
@@ -76,15 +90,18 @@ def main() -> None:
     # --- NN kernel @ 100k x 100k -----------------------------------------
     cb, ca = make_pair(102_400)
     dt = timeit(
-        lambda: nearest_neighbors(cb.points, ca.points, ca.count)[1]
+        lambda i: nearest_neighbors(
+            cb.points * (1.0 + 1e-5 * i), ca.points, ca.count
+        )[1]
     )
     report["nn_100k_ms"] = round(dt * 1000, 2)
 
     # --- ICP per-iteration @ 100k (ref GPU < 100 ms) ---------------------
     iters = 10
     dt = timeit(
-        lambda: icp_register(
-            cb, ca, eps=0.0, max_distance_squared=1e18,
+        lambda i: icp_register(
+            Cloud(cb.points * (1.0 + 1e-5 * i), cb.count), ca,
+            eps=0.0, max_distance_squared=1e18,
             max_iterations=iters, divergence_guard=False,
         ),
         reps=3,
@@ -98,7 +115,11 @@ def main() -> None:
     # --- NICP full run @ 1.05M (ref GPU < 500 ms) ------------------------
     nb, na = make_pair(1_048_576)
     dt = timeit(
-        lambda: nicp_register(nb, na, subcloud_size=1000, seed=1), reps=3
+        lambda i: nicp_register(
+            Cloud(nb.points * (1.0 + 1e-5 * i), nb.count), na,
+            subcloud_size=1000, seed=1,
+        ),
+        reps=3,
     )
     report["nicp_full_run_1M_ms"] = round(dt * 1000, 2)
     report["nicp_vs_ref_gpu_500ms"] = round(0.5 / dt, 2)
@@ -114,7 +135,7 @@ def main() -> None:
             ty, mb.mask(), ma.points, ma.mask(), s2, c, jnp.asarray(False)
         )
     )
-    dt = timeit(lambda: fn(mb.points))
+    dt = timeit(lambda i: fn(mb.points * (1.0 + 1e-5 * i)))
     report["cpd_estep_20k_ms"] = round(dt * 1000, 2)
 
     out = os.path.join(
