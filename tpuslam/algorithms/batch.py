@@ -16,7 +16,7 @@ tests), while the batch keeps stepping until the slowest pair converges.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

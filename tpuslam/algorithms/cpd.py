@@ -54,7 +54,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

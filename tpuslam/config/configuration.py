@@ -16,7 +16,7 @@ truth, ``configparser.cpp:192-257``), resolving the documented quirks:
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np

@@ -11,7 +11,7 @@ distributional/oracle properties instead (SURVEY §7 "RNG parity").
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -10,8 +10,6 @@ from __future__ import annotations
 import os
 from typing import Callable, List, Optional, Sequence
 
-import numpy as np
-
 from tpuslam.algorithms.registry import SlamFunc, run_with_configuration
 from tpuslam.config.configuration import ComputationMethod, Configuration
 from tpuslam.data.synthesis import get_clouds_from_config, transform_cloud

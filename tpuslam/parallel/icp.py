@@ -11,12 +11,11 @@ compiles into one XLA program.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import NamedTuple
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tpuslam.algorithms.icp import FLT_MAX, ICPState, RegistrationResult
 from tpuslam.core.types import Cloud, RigidTransform
