@@ -58,7 +58,12 @@ class RegistrationResult(NamedTuple):
     history: Optional[jnp.ndarray] = None
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "divergence_guard", "verbose"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "use_pallas", "divergence_guard", "verbose", "use_spatial"
+    ),
+)
 def icp_register(
     before: Cloud,
     after: Cloud,
@@ -68,13 +73,53 @@ def icp_register(
     use_pallas: Optional[bool] = None,
     divergence_guard: bool = True,
     verbose: bool = False,
+    use_spatial: Optional[bool] = None,
 ) -> RegistrationResult:
     """Register ``before`` onto ``after``; returns (R, t) with
-    ``after ≈ R @ before + t`` plus iteration count and final MSE."""
+    ``after ≈ R @ before + t`` plus iteration count and final MSE.
+
+    ``use_spatial`` (default: on-TPU for large clouds) enables the
+    Morton-sorted branch-and-bound NN path: both clouds are sorted ONCE
+    here — rigid motion preserves tile compactness across iterations —
+    and each iteration scans only admissible candidate tiles
+    (``tpuslam.ops.nn_spatial``; exact, reference tie-breaking)."""
     src_mask = before.mask()
     max_iterations = jnp.asarray(max_iterations, dtype=jnp.int32)
     eps = jnp.asarray(eps, dtype=jnp.float32)
     max_d2 = jnp.asarray(max_distance_squared, dtype=jnp.float32)
+
+    if use_spatial is None:
+        use_spatial = (
+            jax.default_backend() == "tpu"
+            and before.padded_size >= 8192
+            and after.padded_size >= 8192
+        )
+    if use_spatial:
+        from tpuslam.ops.nn_spatial import (
+            nearest_neighbors_spatial,
+            prepare_target,
+        )
+        from tpuslam.ops.spatial import morton_permutation
+
+        perm_s = morton_permutation(before.points, src_mask)
+        src_points = before.points[perm_s]
+        src_mask = src_mask[perm_s]
+        target_state = prepare_target(
+            after.points, after.mask(), after.count
+        )
+
+        def run_nn(transformed):
+            return nearest_neighbors_spatial(
+                transformed, src_mask, target_state
+            )
+    else:
+        src_points = before.points
+
+        def run_nn(transformed):
+            return nearest_neighbors(
+                transformed, after.points, after.count,
+                use_pallas=use_pallas,
+            )
 
     def cond(s: ICPState):
         return jnp.logical_and(
@@ -93,10 +138,8 @@ def icp_register(
         )
 
     def _body(s: ICPState) -> ICPState:
-        transformed = before.points @ s.rotation.T + s.translation
-        idx, dist = nearest_neighbors(
-            transformed, after.points, after.count, use_pallas=use_pallas
-        )
+        transformed = src_points @ s.rotation.T + s.translation
+        idx, dist = run_nn(transformed)
         w = jnp.logical_and(dist < max_d2, src_mask > 0).astype(jnp.float32)
         n_corr = jnp.sum(w)
         no_corr = n_corr == 0
@@ -106,7 +149,7 @@ def icp_register(
         r_new = r_step @ s.rotation
         t_new = r_step @ s.translation + t_step
 
-        new_transformed = before.points @ r_new.T + t_new
+        new_transformed = src_points @ r_new.T + t_new
         diff = matched - new_transformed
         err = jnp.sum(jnp.sum(diff * diff, axis=-1) * w) / jnp.maximum(n_corr, 1.0)
 
