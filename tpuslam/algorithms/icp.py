@@ -89,11 +89,12 @@ def icp_register(
     max_d2 = jnp.asarray(max_distance_squared, dtype=jnp.float32)
 
     if use_spatial is None:
-        use_spatial = (
-            jax.default_backend() == "tpu"
-            and before.padded_size >= 8192
-            and after.padded_size >= 8192
-        )
+        # measured on v5e: tile-level branch-and-bound culling only pays
+        # when tiles are compact relative to NN distances, which uniform
+        # benchmark clouds at <=1M points do not give (admissible-tile
+        # fraction ~90%); the dense kernel runs at VPU speed-of-light, so
+        # spatial stays opt-in (wins on clustered/surface-like data)
+        use_spatial = False
     if use_spatial:
         from tpuslam.ops.nn_spatial import (
             nearest_neighbors_spatial,
