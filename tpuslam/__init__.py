@@ -16,10 +16,29 @@ pipeline, benchmark harness and CSV output — built TPU-first:
 
 __version__ = "0.1.0"
 
-from tpuslam.core.types import RigidTransform, Cloud  # noqa: F401
+from tpuslam.core.types import RigidTransform, Cloud, pad_cloud, unpad  # noqa: F401
 from tpuslam.config.configuration import (  # noqa: F401
     Configuration,
     ComputationMethod,
     ExecutionPolicy,
     ApproximationType,
 )
+
+
+def register(before, after, config=None, **overrides):
+    """One-call registration: host ``f32[N,3]`` arrays in, (rotation,
+    translation, iterations, error) out — the reference's ``SlamFunc``
+    contract (``testrunner.h:8``) as a library call.
+
+    ``config`` defaults to an ICP ``Configuration``; keyword overrides are
+    applied on top (e.g. ``register(a, b, computation_method=
+    ComputationMethod.Cpd, cpd_weight=0.1)``)."""
+    from dataclasses import replace
+
+    from tpuslam.algorithms.registry import run_with_configuration
+
+    if config is None:
+        config = Configuration()
+    if overrides:
+        config = replace(config, **overrides)
+    return run_with_configuration(before, after, config)
