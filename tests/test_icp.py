@@ -113,3 +113,17 @@ def test_registry_end_to_end(rng):
     rot, trans, iters, err = run_with_configuration(cloud, after, config)
     assert err < 1e-3
     np.testing.assert_allclose(rot, r_true, atol=1e-2)
+
+
+def test_nan_input_terminates(rng):
+    """Fail-fast guard (SURVEY §5.3): non-finite data must not spin the
+    unbounded (-1) loop forever."""
+    from tpuslam.algorithms.icp import icp_register
+    from tpuslam.core.types import pad_cloud
+
+    before = np.full((100, 3), np.nan, dtype=np.float32)
+    after = (rng.random((100, 3))).astype(np.float32)
+    result = icp_register(
+        pad_cloud(before), pad_cloud(after), max_iterations=-1
+    )
+    assert int(result.iterations) < 10  # terminated, not spun

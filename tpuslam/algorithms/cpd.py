@@ -377,8 +377,14 @@ def cpd_register(
     c_init = uniform_constant(sigma2_0, weight, m, n)
 
     def cond(s: CPDState):
+        # non-finite sigma^2/ntol fail the comparisons and stop the loop
+        # (fail-fast, SURVEY §5.3); jnp.isfinite guard kept explicit for
+        # the log-likelihood which feeds ntol next iteration
         return jnp.logical_and(
-            s.iterations < max_iterations,
+            jnp.logical_and(
+                s.iterations < max_iterations,
+                jnp.isfinite(s.log_likelihood),
+            ),
             jnp.logical_and(s.ntol > tolerance, s.sigma2 > eps),
         )
 

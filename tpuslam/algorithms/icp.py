@@ -164,10 +164,18 @@ def icp_register(
         def pick(cur, new, prev):
             return jnp.where(no_corr, cur, jnp.where(diverged, prev, new))
 
+        # fail fast on non-finite error (SURVEY §5.3): with
+        # max_iterations=-1 a NaN would otherwise never satisfy any stop
+        # condition and the loop would spin forever
+        non_finite = jnp.logical_not(jnp.isfinite(err))
+
         rotation = pick(s.rotation, r_new, s.prev_rotation)
         translation = pick(s.translation, t_new, s.prev_translation)
         error = pick(s.error, err, s.prev_error)
-        done = jnp.logical_or(no_corr, jnp.logical_or(converged, diverged))
+        done = jnp.logical_or(
+            jnp.logical_or(no_corr, non_finite),
+            jnp.logical_or(converged, diverged),
+        )
         # the reference increments only when the loop continues
         iterations = jnp.where(done, s.iterations, s.iterations + 1)
 
