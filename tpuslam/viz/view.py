@@ -30,6 +30,7 @@ def show_registration(
     before: np.ndarray,
     after: np.ndarray,
     transformed: Optional[np.ndarray] = None,
+    origin: Optional[np.ndarray] = None,
     save_path: Optional[str] = None,
     show: Optional[bool] = None,
 ) -> Optional[str]:
@@ -45,10 +46,13 @@ def show_registration(
 
     fig = plt.figure(figsize=(9, 8))
     ax = fig.add_subplot(111, projection="3d")
+    # the reference renderer's 4 toggleable clouds (renderer.h:26-37):
+    # before=red, after=green, transformed=yellow, + origin markers
     for cloud, color, label in (
         (before, "red", "before"),
         (after, "green", "after"),
         (transformed, "gold", "transformed"),
+        (origin, "blue", "origin"),
     ):
         if cloud is None or len(cloud) == 0:
             continue
