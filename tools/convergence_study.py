@@ -1,0 +1,144 @@
+"""Convergence-rate study mirroring the reference's methodology
+(``GetConvergenceTestSet``, ``testset.cpp:119-187``; published analysis in
+``documentation.tex:584-644``): repeats x size ladder x 9 (rotation,
+translation) combos per method, self-registration with a known injected
+transform.
+
+"Converged" is judged against the exact oracle: ground-truth MSE of the
+recovered transform below 5% of spread^2 (the reference judged from final
+error in a spreadsheet).  Reduced repeats/sizes vs the reference's 5x full
+ladder to bound tunnel-compile time; the combo grid is complete.
+
+Reference anchors (documentation.tex): ICP convergence low overall and
+falling with size/translation; NICP ~1.0 at 250k-1.25M; CPD (hybrid)
+> 0.9 at 4k-20k on GPU.  Writes ``bench_results/convergence.jsonl`` and
+prints per-combo rates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+
+import numpy as np
+
+from tpuslam.algorithms.registry import run_with_configuration
+from tpuslam.config.configuration import (
+    ApproximationType,
+    ComputationMethod,
+    Configuration,
+    ExecutionPolicy,
+)
+from tpuslam.data.synthesis import get_clouds_from_config
+from tpuslam.harness.testsets import get_object_with_min_size
+
+COMBOS = [(r, t) for t in (10.0, 20.0, 30.0) for r in (0.2, 0.4, 0.6)]
+SIZES = {
+    ComputationMethod.Icp: [20000, 60000, 100000],
+    ComputationMethod.Cpd: [4000, 12000, 20000],
+    ComputationMethod.NoniterativeIcp: [250000, 750000],
+}
+REPEATS = 2
+SPREAD_SQ = 100.0  # cloud-spread 10
+
+
+def run_one(method, size, rot, trans, seed):
+    config = Configuration(
+        computation_method=method,
+        before_path=get_object_with_min_size(size),
+        after_path=get_object_with_min_size(size),
+        max_iterations=100,
+        cloud_spread=10.0,
+        max_distance_squared=10000.0,
+        transformation_parameters=(rot, trans),
+        cloud_before_resize=size,
+        cloud_after_resize=size,
+        execution_policy=ExecutionPolicy.Parallel,
+        approximation_type=(
+            ApproximationType.Hybrid
+            if method == ComputationMethod.Cpd
+            else ApproximationType.NONE
+        ),
+        nicp_subcloud_size=5000,
+        nicp_batch_size=1,
+        nicp_iterations=16,
+        cpd_weight=0.1,
+        cpd_tolerance=1e-4,
+        random_seed=seed,
+    )
+    before, after, (gt_r, gt_t) = get_clouds_from_config(config)
+    t0 = time.perf_counter()
+    rotation, translation, iterations, error = run_with_configuration(
+        before, after, config
+    )
+    wall = time.perf_counter() - t0
+    target = before @ gt_r.T + gt_t
+    mse = float(
+        np.mean(
+            np.sum((before @ rotation.T + translation - target) ** 2, -1)
+        )
+    )
+    return {
+        "method": method.value,
+        "size": size,
+        "rotation": rot,
+        "translation": trans,
+        "seed": seed,
+        "iterations": int(iterations),
+        "error": float(error),
+        "gt_mse": mse,
+        "converged": mse < 0.05 * SPREAD_SQ,
+        "wall_s": round(wall, 2),
+    }
+
+
+def main():
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_results", "convergence.jsonl",
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    rows = []
+    with open(out_path, "w") as fh:
+        for method, sizes in SIZES.items():
+            for size in sizes:
+                for rot, trans in COMBOS:
+                    for rep in range(REPEATS):
+                        row = run_one(method, size, rot, trans, 1000 + rep)
+                        rows.append(row)
+                        fh.write(json.dumps(row) + "\n")
+                        fh.flush()
+                        print(
+                            f"{row['method']} n={size} rot={rot} "
+                            f"tr={trans} rep={rep}: conv={row['converged']}"
+                            f" mse={row['gt_mse']:.3f} {row['wall_s']}s",
+                            flush=True,
+                        )
+
+    print("\n=== convergence rates ===")
+    for method in SIZES:
+        mrows = [r for r in rows if r["method"] == method.value]
+        total = sum(r["converged"] for r in mrows) / len(mrows)
+        print(f"{method.value}: overall {total:.2f}")
+        for rot, trans in COMBOS:
+            sub = [
+                r for r in mrows
+                if r["rotation"] == rot and r["translation"] == trans
+            ]
+            rate = sum(r["converged"] for r in sub) / len(sub)
+            print(f"  rot={rot} trans={trans}: {rate:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,7 @@ def nicp_register_batch(
         approximation_type=approximation_type,
         subcloud_size=subcloud_size,
         seed=seed,
+        use_pallas=False,  # batched NN: XLA batches the jnp tiles directly
     )
     return jax.vmap(fn)(befores, afters)
 
@@ -107,5 +108,6 @@ def cpd_register_batch(
         max_iterations=max_iterations,
         tolerance=tolerance,
         approximation_type=approximation_type,
+        use_pallas=False,  # batched E-step: XLA batches the jnp tiles
     )
     return jax.vmap(fn)(befores, afters)

@@ -331,7 +331,7 @@ class CPDState(NamedTuple):
     static_argnames=(
         "const_scale", "approximation_type", "use_fgt",
         "order_of_truncation", "fgt_k", "verbose", "record_history",
-        "history_length",
+        "history_length", "use_pallas",
     ),
 )
 def cpd_register(
@@ -350,6 +350,7 @@ def cpd_register(
     verbose: bool = False,
     record_history: bool = False,
     history_length: int = 256,
+    use_pallas=None,
 ) -> RegistrationResult:
     """Register ``before`` (the moving GMM centroids) onto ``after``.
 
@@ -409,7 +410,7 @@ def cpd_register(
         if approximation_type == ApproximationType.NONE:
             stats = cpd_estep_auto(
                 transformed, mask_b, target, mask_a, s.sigma2, c_init,
-                jnp.asarray(False),
+                jnp.asarray(False), use_pallas=use_pallas,
             )
         elif approximation_type == ApproximationType.Full:
             # sigma^2 floor (coherentpointdrift.cpp:152-155) and FGT-mode
@@ -421,7 +422,7 @@ def cpd_register(
                 stats = cpd_estep_auto(
                     transformed, mask_b, target, mask_a, sigma_e,
                     uniform_constant(sigma_e, weight, m, n),
-                    jnp.asarray(False),
+                    jnp.asarray(False), use_pallas=use_pallas,
                 )
         else:  # Hybrid (coherentpointdrift.cpp:157-164)
             fast_now = s.sigma2 > 0.015 * sigma2_0
@@ -431,7 +432,7 @@ def cpd_register(
                     lambda: fgt_stats(transformed, s.sigma2),
                     lambda: cpd_estep_auto(
                         transformed, mask_b, target, mask_a, s.sigma2,
-                        c_init, jnp.asarray(True),
+                        c_init, jnp.asarray(True), use_pallas=use_pallas,
                     ),
                 )
             else:
@@ -442,7 +443,7 @@ def cpd_register(
                 )
                 stats = cpd_estep_auto(
                     transformed, mask_b, target, mask_a, s.sigma2, c_used,
-                    jnp.logical_not(fast_now),
+                    jnp.logical_not(fast_now), use_pallas=use_pallas,
                 )
         ntol = jnp.abs((stats.error - s.log_likelihood) / stats.error)
         mres = cpd_mstep(moving, target, stats, const_scale, s.scale)

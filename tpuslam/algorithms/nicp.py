@@ -124,22 +124,35 @@ def _exact_errors(
     subcloud: jnp.ndarray,
     sub_mask: jnp.ndarray,
     after: Cloud,
+    use_pallas=None,
 ) -> jnp.ndarray:
     """Exact rescore (``noniterative.cpp:91-96``): transform the subcloud,
-    NN-match against the full after cloud, correspondence MSE."""
+    NN-match against the full after cloud, correspondence MSE.
 
-    def one(r, t):
-        transformed = subcloud @ r.T + t
-        idx, dist = nearest_neighbors(transformed, after.points, after.count)
-        w = jnp.logical_and(
-            dist < MAX_DISTANCE_FOR_COMPARISON, sub_mask > 0
-        ).astype(jnp.float32)
-        return jnp.sum(dist * w) / jnp.maximum(jnp.sum(w), 1.0)
+    All candidates' transformed subclouds are flattened into ONE NN call —
+    one kernel launch, and no vmap-of-pallas lowering (the subcloud row
+    count is lane-aligned by the caller)."""
+    c = cands.rotations.shape[0]
+    k = subcloud.shape[0]
+    transformed = (
+        jnp.einsum("crk,nk->cnr", cands.rotations, subcloud)
+        + cands.translations[:, None, :]
+    )  # [C, k, 3]
+    _, dist = nearest_neighbors(
+        transformed.reshape(c * k, 3), after.points, after.count,
+        use_pallas=use_pallas,
+    )
+    dist = dist.reshape(c, k)
+    w = jnp.logical_and(
+        dist < MAX_DISTANCE_FOR_COMPARISON, sub_mask[None, :] > 0
+    ).astype(jnp.float32)
+    return jnp.sum(dist * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
 
-    return jax.vmap(one)(cands.rotations, cands.translations)
 
-
-@partial(jax.jit, static_argnames=("approximation_type", "subcloud_size"))
+@partial(
+    jax.jit,
+    static_argnames=("approximation_type", "subcloud_size", "use_pallas"),
+)
 def nicp_register(
     before: Cloud,
     after: Cloud,
@@ -147,6 +160,7 @@ def nicp_register(
     approximation_type: ApproximationType = ApproximationType.NONE,
     subcloud_size: int = 1000,
     seed: int = 0,
+    use_pallas=None,
 ) -> RegistrationResult:
     """One-shot registration of ``before`` onto ``after``.
 
@@ -164,14 +178,20 @@ def nicp_register(
 
     # subcloud of before for exact scoring (common.cpp:25-37): random valid
     # rows; if the cloud is smaller than subcloud_size the whole cloud is
-    # used and the shortfall is weight-masked out.
-    k = min(subcloud_size, before.padded_size)
+    # used and the shortfall is weight-masked out.  The row count is
+    # rounded up to the TPU lane width for the Pallas NN kernel; rows
+    # beyond the requested size carry zero weight, preserving the exact
+    # subcloud-size semantics.
+    k_req = min(subcloud_size, before.padded_size)
+    k = min(-(-k_req // 128) * 128, before.padded_size)
     key = jax.random.PRNGKey(seed)
     scores = jax.random.uniform(key, (before.padded_size,))
     scores = jnp.where(mask_b > 0, scores, 2.0)  # invalid rows sort last
     order = jnp.argsort(scores)[:k]
     subcloud = before.points[order]
-    sub_mask = mask_b[order]
+    sub_mask = mask_b[order] * (
+        jnp.arange(k, dtype=jnp.int32) < k_req
+    ).astype(jnp.float32)
 
     centered_b = (before.points - mu_b) * mask_b[:, None]
     centered_a = (after.points - mu_a) * mask_a[:, None]
@@ -199,7 +219,7 @@ def nicp_register(
             translations=cands.translations[best_by_approx][None],
             proper=cands.proper[best_by_approx][None],
         )
-        exact = _exact_errors(one, subcloud, sub_mask, after)
+        exact = _exact_errors(one, subcloud, sub_mask, after, use_pallas)
         best = jnp.int32(0)
         rotation = one.rotations[0]
         translation = one.translations[0]
@@ -208,7 +228,7 @@ def nicp_register(
         # None: exact-score every candidate (noniterative.cpp:224-236);
         # Hybrid: top-5 by approx rescored — with 4 proper candidates the
         # rescored set is the full set, so both modes score all candidates.
-        exact = _exact_errors(cands, subcloud, sub_mask, after)
+        exact = _exact_errors(cands, subcloud, sub_mask, after, use_pallas)
         exact = exact + improper_penalty
         best = jnp.argmin(exact)
         rotation = cands.rotations[best]
