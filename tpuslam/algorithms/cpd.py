@@ -258,6 +258,44 @@ class MStepResult(NamedTuple):
     sigma2: jnp.ndarray
 
 
+def mstep_from_moments(
+    np_: jnp.ndarray,
+    mu_b: jnp.ndarray,
+    mu_a: jnp.ndarray,
+    a_mat: jnp.ndarray,
+    sigma_sub: jnp.ndarray,
+    scale_den: jnp.ndarray,
+    const_scale: bool,
+    prev_scale: jnp.ndarray,
+) -> MStepResult:
+    """The moment->transform core of the M-step (``MStep``,
+    ``coherentpointdrift.cpp:241-278``): det-corrected 3x3 SVD of
+    ``A = px^T B - Np mu_a mu_b^T``, scale ``tr(S D)/denominator`` and the
+    sigma^2 update.  Shared by the single-device M-step (from Sufficient
+    arrays) and the sharded M-step (from psum'd partial moments)."""
+    inv_np = 1.0 / np_
+    u, sv, vt = jnp.linalg.svd(a_mat, full_matrices=False)
+    det_uv = jnp.linalg.det(u @ vt)
+    d = jnp.array([1.0, 1.0, 0.0], a_mat.dtype) + jnp.array(
+        [0.0, 0.0, 1.0], a_mat.dtype
+    ) * det_uv
+    r = (u * d[None, :]) @ vt
+    # tr(S diag(1,1,det(UV^T)))  (coherentpointdrift.cpp:258-260)
+    scale_num = sv[0] + sv[1] + det_uv * sv[2]
+
+    if const_scale:
+        scale = prev_scale
+        sigma2 = (
+            inv_np * jnp.abs(sigma_sub + scale_den - 2.0 * scale_num) / 3.0
+        )
+    else:
+        scale = scale_num / scale_den
+        sigma2 = inv_np * jnp.abs(sigma_sub - scale * scale_num) / 3.0
+
+    t = mu_a - scale * (r @ mu_b)
+    return MStepResult(rotation=r, translation=t, scale=scale, sigma2=sigma2)
+
+
 def cpd_mstep(
     moving: jnp.ndarray,
     target: jnp.ndarray,
@@ -285,15 +323,6 @@ def cpd_mstep(
         )
         - np_ * jnp.outer(mu_a, mu_b)
     )
-    u, sv, vt = jnp.linalg.svd(a_mat, full_matrices=False)
-    det_uv = jnp.linalg.det(u @ vt)
-    d = jnp.array([1.0, 1.0, 0.0], a_mat.dtype) + jnp.array(
-        [0.0, 0.0, 1.0], a_mat.dtype
-    ) * det_uv
-    r = (u * d[None, :]) @ vt
-    # tr(S diag(1,1,det(UV^T)))  (coherentpointdrift.cpp:258-260)
-    scale_num = sv[0] + sv[1] + det_uv * sv[2]
-
     sigma_sub = (
         jnp.sum(stats.pt1 * jnp.sum(target * target, -1))
         - np_ * jnp.dot(mu_a, mu_a)
@@ -302,18 +331,10 @@ def cpd_mstep(
         jnp.sum(stats.p1 * jnp.sum(moving * moving, -1))
         - np_ * jnp.dot(mu_b, mu_b)
     )
-
-    if const_scale:
-        scale = prev_scale
-        sigma2 = (
-            inv_np * jnp.abs(sigma_sub + scale_den - 2.0 * scale_num) / 3.0
-        )
-    else:
-        scale = scale_num / scale_den
-        sigma2 = inv_np * jnp.abs(sigma_sub - scale * scale_num) / 3.0
-
-    t = mu_a - scale * (r @ mu_b)
-    return MStepResult(rotation=r, translation=t, scale=scale, sigma2=sigma2)
+    return mstep_from_moments(
+        np_, mu_b, mu_a, a_mat, sigma_sub, scale_den, const_scale,
+        prev_scale,
+    )
 
 
 class CPDState(NamedTuple):

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpuslam.algorithms.cpd import (
     CPDState,
     cpd_estep_auto,
+    mstep_from_moments,
     uniform_constant,
 )
 from tpuslam.algorithms.icp import RegistrationResult
@@ -125,32 +126,19 @@ def _build(mesh: Mesh, const_scale: bool,
                 )
                 - np_ * jnp.outer(mu_a, mu_b)
             )
-            u, sv, vt = jnp.linalg.svd(a_mat, full_matrices=False)
-            det_uv = jnp.linalg.det(u @ vt)
-            d = jnp.array([1.0, 1.0, 0.0], jnp.float32) + jnp.array(
-                [0.0, 0.0, 1.0], jnp.float32
-            ) * det_uv
-            r = (u * d[None, :]) @ vt
-            scale_num = sv[0] + sv[1] + det_uv * sv[2]
             sigma_sub = t_pt1_a2 - np_ * jnp.dot(mu_a, mu_a)
             scale_den = (
                 jnp.sum(p1 * jnp.sum(moving * moving, -1))
                 - np_ * jnp.dot(mu_b, mu_b)
             )
-            if const_scale:
-                scale = s.scale
-                sigma2 = (
-                    inv_np
-                    * jnp.abs(sigma_sub + scale_den - 2.0 * scale_num)
-                    / 3.0
-                )
-            else:
-                scale = scale_num / scale_den
-                sigma2 = inv_np * jnp.abs(sigma_sub - scale * scale_num) / 3.0
-            t = mu_a - scale * (r @ mu_b)
+            mres = mstep_from_moments(
+                np_, mu_b, mu_a, a_mat, sigma_sub, scale_den,
+                const_scale, s.scale,
+            )
 
             return CPDState(
-                rotation=r, translation=t, scale=scale, sigma2=sigma2,
+                rotation=mres.rotation, translation=mres.translation,
+                scale=mres.scale, sigma2=mres.sigma2,
                 log_likelihood=err, ntol=ntol,
                 iterations=s.iterations + 1,
             )
