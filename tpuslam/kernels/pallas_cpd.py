@@ -114,8 +114,18 @@ def cpd_estep_pallas(
 ) -> Sufficient:
     """Drop-in replacement for ``tpuslam.algorithms.cpd.cpd_estep``
     (``ComputePMatrix``, ``coherentpointdrift.cpp:167-221``)."""
-    m = transformed.shape[0]
-    n = target.shape[0]
+    m0 = transformed.shape[0]
+    n0 = target.shape[0]
+    # pad internally to large-tile multiples (see pallas_nn note); padded
+    # rows get zero mask, and moving pads land on the far sentinel
+    m = -(-m0 // 1024) * 1024
+    n = -(-n0 // 1024) * 1024
+    if m != m0:
+        transformed = jnp.pad(transformed, ((0, m - m0), (0, 0)))
+        moving_mask = jnp.pad(moving_mask, (0, m - m0))
+    if n != n0:
+        target = jnp.pad(target, ((0, n - n0), (0, 0)))
+        target_mask = jnp.pad(target_mask, (0, n - n0))
     bm = _pick_block(m)
     bn = _pick_block(n)
     while bm * bn > _MAX_TILE_ELEMS and bm > 128:
@@ -186,4 +196,6 @@ def cpd_estep_pallas(
         -jnp.sum(jnp.log(denom) * target_mask)
         + 3.0 * n_valid * jnp.log(sigma2) / 2.0
     )
-    return Sufficient(p1=p1, pt1=pt1, px=px, error=err)
+    return Sufficient(
+        p1=p1[:m0], pt1=pt1[:n0], px=px[:m0], error=err
+    )

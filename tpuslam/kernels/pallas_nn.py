@@ -100,7 +100,17 @@ def nearest_neighbors_pallas(
     (i32[N] index of nearest valid target, f32[N] squared distance).
     Shapes must be lane-padded (multiples of 128), as ``pad_cloud``
     guarantees."""
-    n, m = src.shape[0], tgt.shape[0]
+    n0, m0 = src.shape[0], tgt.shape[0]
+    # pad internally to large-tile multiples: lane-multiple-only shapes
+    # (e.g. 50048) would otherwise fall to 128x128 tiles and a grid with
+    # ~64x more steps; extra target rows sit beyond ``count`` and are
+    # masked, extra source rows are sliced off the outputs
+    n = -(-n0 // 1024) * 1024
+    m = -(-m0 // 1024) * 1024
+    if n != n0:
+        src = jnp.pad(src, ((0, n - n0), (0, 0)))
+    if m != m0:
+        tgt = jnp.pad(tgt, ((0, m - m0), (0, 0)))
     bn = _pick_block(n, (2048, 1024, 512, 256, 128))
     bm = _pick_block(m, (1024, 512, 256, 128))
     while bn * bm > _MAX_TILE_ELEMS and bn > 128:
@@ -133,4 +143,4 @@ def nearest_neighbors_pallas(
         ),
         interpret=interpret,
     )(count, src.T, tgt)
-    return idx.reshape(n), dist.reshape(n)
+    return idx.reshape(n)[:n0], dist.reshape(n)[:n0]
