@@ -57,3 +57,25 @@ def test_all_targets_invalid(rng):
         jnp.asarray(src), cloud.points, cloud.count, interpret=True
     )
     assert np.all(np.asarray(dist) > 1e37)
+
+
+def test_internal_padding_multi_tile(rng):
+    # 1152 rows: pads internally to 2048 -> two 1024-tiles where the
+    # second is mostly internal padding; the count mask must keep padded
+    # rows from ever winning across the tile boundary
+    n, m, count = 1152, 1152, 1100
+    src = (rng.random((n, 3)) * 10).astype(np.float32)
+    tgt_full = (rng.random((m, 3)) * 10).astype(np.float32)
+    tgt = pad_cloud(tgt_full[:count], multiple=128)
+    assert tgt.points.shape[0] == 1152  # lane-aligned, NOT tile-aligned
+    idx_p, dist_p = nearest_neighbors_pallas(
+        jnp.asarray(src), tgt.points, tgt.count, interpret=True
+    )
+    idx_r, dist_r = nearest_neighbors_ref(
+        jnp.asarray(src), tgt.points, tgt.count
+    )
+    assert idx_p.shape == (n,)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_r))
+    np.testing.assert_allclose(
+        np.asarray(dist_p), np.asarray(dist_r), rtol=1e-5, atol=1e-5
+    )

@@ -43,20 +43,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuslam.algorithms.cpd import Sufficient
+from tpuslam.core.types import round_up
 
-# [BM, BN] f32 Gaussian tile + temporaries
-_MAX_TILE_ELEMS = 1024 * 1024
+# internal padding granule == tile size ([BM, BN] f32 Gaussian tile +
+# temporaries fit VMEM at 1024x1024)
+_TILE = 1024
 
 # moving-cloud padding sentinel: far enough that exp underflows to 0 for
 # any plausible sigma, near enough that d^2 stays finite in f32
 SENTINEL = 1e15
-
-
-def _pick_block(n: int, prefer=(1024, 512, 256, 128)) -> int:
-    for b in prefer:
-        if n % b == 0:
-            return b
-    return n
 
 
 def _gauss(sub, lanes_T, mult, trunc_flag, log_trunc):
@@ -116,20 +111,17 @@ def cpd_estep_pallas(
     (``ComputePMatrix``, ``coherentpointdrift.cpp:167-221``)."""
     m0 = transformed.shape[0]
     n0 = target.shape[0]
-    # pad internally to large-tile multiples (see pallas_nn note); padded
-    # rows get zero mask, and moving pads land on the far sentinel
-    m = -(-m0 // 1024) * 1024
-    n = -(-n0 // 1024) * 1024
+    # pad internally to tile multiples (see pallas_nn note); padded rows
+    # get zero mask, and moving pads land on the far sentinel
+    m = round_up(m0, _TILE)
+    n = round_up(n0, _TILE)
     if m != m0:
         transformed = jnp.pad(transformed, ((0, m - m0), (0, 0)))
         moving_mask = jnp.pad(moving_mask, (0, m - m0))
     if n != n0:
         target = jnp.pad(target, ((0, n - n0), (0, 0)))
         target_mask = jnp.pad(target_mask, (0, n - n0))
-    bm = _pick_block(m)
-    bn = _pick_block(n)
-    while bm * bn > _MAX_TILE_ELEMS and bm > 128:
-        bm //= 2
+    bm = bn = _TILE
 
     # padded moving rows -> far sentinel so their Gaussian is exactly 0
     ty = jnp.where(moving_mask[:, None] > 0, transformed, SENTINEL)

@@ -42,12 +42,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpuslam.core.types import round_up
+
 BIG = 3.4e38  # Python literals: jnp scalars would be captured consts
 IMAX = 2**31 - 1
 
-# [BM, BN] f32 distance tile + argmin temporaries; 2048x1024 measured best
-# on v5e within the VMEM budget
-_MAX_TILE_ELEMS = 2048 * 1024
+# internal padding granule; [BM, BN] f32 tile + argmin temporaries at
+# 2048x1024 measured best on v5e within the VMEM budget
+_TILE = 1024
 
 
 def _pick_block(n: int, prefer: Tuple[int, ...]) -> int:
@@ -98,23 +100,23 @@ def nearest_neighbors_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract as ``tpuslam.ops.nn.nearest_neighbors_ref``:
     (i32[N] index of nearest valid target, f32[N] squared distance).
-    Shapes must be lane-padded (multiples of 128), as ``pad_cloud``
-    guarantees."""
+    Any row counts accepted — inputs are padded internally to tile
+    multiples and outputs sliced back to the input length."""
     n0, m0 = src.shape[0], tgt.shape[0]
     # pad internally to large-tile multiples: lane-multiple-only shapes
     # (e.g. 50048) would otherwise fall to 128x128 tiles and a grid with
     # ~64x more steps; extra target rows sit beyond ``count`` and are
     # masked, extra source rows are sliced off the outputs
-    n = -(-n0 // 1024) * 1024
-    m = -(-m0 // 1024) * 1024
+    n = round_up(n0, _TILE)
+    m = round_up(m0, _TILE)
     if n != n0:
         src = jnp.pad(src, ((0, n - n0), (0, 0)))
     if m != m0:
         tgt = jnp.pad(tgt, ((0, m - m0), (0, 0)))
-    bn = _pick_block(n, (2048, 1024, 512, 256, 128))
-    bm = _pick_block(m, (1024, 512, 256, 128))
-    while bn * bm > _MAX_TILE_ELEMS and bn > 128:
-        bn //= 2
+    # n, m are _TILE multiples, so these resolve to 2048/1024-grade tiles
+    # whose product stays within the VMEM budget by construction
+    bn = _pick_block(n, (2048, 1024))
+    bm = _pick_block(m, (1024,))
     count = jnp.asarray(tgt_count, jnp.int32).reshape(1)
 
     grid = (n // bn, m // bm)
