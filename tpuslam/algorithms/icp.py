@@ -41,8 +41,6 @@ FLT_MAX = jnp.float32(3.4028235e38)
 class ICPState(NamedTuple):
     rotation: jnp.ndarray  # f32[3,3]
     translation: jnp.ndarray  # f32[3]
-    prev_rotation: jnp.ndarray
-    prev_translation: jnp.ndarray
     error: jnp.ndarray  # f32[]
     prev_error: jnp.ndarray  # f32[]
     iterations: jnp.ndarray  # i32[]
@@ -78,11 +76,13 @@ def icp_register(
     """Register ``before`` onto ``after``; returns (R, t) with
     ``after ≈ R @ before + t`` plus iteration count and final MSE.
 
-    ``use_spatial`` (default: on-TPU for large clouds) enables the
-    Morton-sorted branch-and-bound NN path: both clouds are sorted ONCE
-    here — rigid motion preserves tile compactness across iterations —
-    and each iteration scans only admissible candidate tiles
-    (``tpuslam.ops.nn_spatial``; exact, reference tie-breaking)."""
+    ``use_spatial`` (default OFF — opt-in) enables the Morton-sorted
+    branch-and-bound NN path: both clouds are sorted ONCE here — rigid
+    motion preserves tile compactness across iterations — and each
+    iteration scans only admissible candidate tiles
+    (``tpuslam.ops.nn_spatial``; exact, reference tie-breaking).  Measured
+    neutral on uniform clouds up to 1M points; wins on clustered/
+    surface-heavy data."""
     src_mask = before.mask()
     max_iterations = jnp.asarray(max_iterations, dtype=jnp.int32)
     eps = jnp.asarray(eps, dtype=jnp.float32)
@@ -159,19 +159,23 @@ def icp_register(
             jnp.asarray(divergence_guard), err > s.prev_error
         )
 
-        # zero correspondences: stop, keeping the pre-iteration state
-        # divergence: revert to the previous accepted state (icpcuda.cu:43-49)
-        def pick(cur, new, prev):
-            return jnp.where(no_corr, cur, jnp.where(diverged, prev, new))
+        # zero correspondences or divergence: stop, reverting to the
+        # pre-iteration transform — exactly the reference's rollback to
+        # the previous accepted state (icpcuda.cu:43-49), since the
+        # carried (rotation, translation) IS the last accepted transform
+        def pick(cur, new):
+            return jnp.where(
+                jnp.logical_or(no_corr, diverged), cur, new
+            )
 
         # fail fast on non-finite error (SURVEY §5.3): with
         # max_iterations=-1 a NaN would otherwise never satisfy any stop
         # condition and the loop would spin forever
         non_finite = jnp.logical_not(jnp.isfinite(err))
 
-        rotation = pick(s.rotation, r_new, s.prev_rotation)
-        translation = pick(s.translation, t_new, s.prev_translation)
-        error = pick(s.error, err, s.prev_error)
+        rotation = pick(s.rotation, r_new)
+        translation = pick(s.translation, t_new)
+        error = pick(s.error, err)
         done = jnp.logical_or(
             jnp.logical_or(no_corr, non_finite),
             jnp.logical_or(converged, diverged),
@@ -188,8 +192,6 @@ def icp_register(
         return ICPState(
             rotation=rotation,
             translation=translation,
-            prev_rotation=jnp.where(keep_going, r_new, s.prev_rotation),
-            prev_translation=jnp.where(keep_going, t_new, s.prev_translation),
             error=error,
             prev_error=jnp.where(keep_going, err, s.prev_error),
             iterations=iterations,
@@ -201,8 +203,6 @@ def icp_register(
     init = ICPState(
         rotation=eye,
         translation=zero,
-        prev_rotation=eye,
-        prev_translation=zero,
         error=jnp.float32(1e5),  # basicicp.cpp:26
         prev_error=FLT_MAX,
         iterations=jnp.int32(0),

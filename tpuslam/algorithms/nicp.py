@@ -193,25 +193,27 @@ def nicp_register(
         jnp.arange(k, dtype=jnp.int32) < k_req
     ).astype(jnp.float32)
 
-    centered_b = (before.points - mu_b) * mask_b[:, None]
-    centered_a = (after.points - mu_a) * mask_a[:, None]
-    n_pair = jnp.minimum(before.count, after.count)
-    pair_mask = (
-        jnp.arange(before.padded_size, dtype=jnp.int32) < n_pair
-    ).astype(jnp.float32)
-    # truncate/pad the after side to the before padded size for index pairing
-    m = before.padded_size
-    ca = (
-        centered_a[:m]
-        if centered_a.shape[0] >= m
-        else jnp.pad(centered_a, ((0, m - centered_a.shape[0]), (0, 0)))
-    )
-
     improper_penalty = jnp.where(cands.proper, 0.0, BIG)
-    approx_err = _approximated_errors(cands, centered_b, ca, pair_mask)
-    approx_err = approx_err + improper_penalty
 
     if approximation_type == ApproximationType.Full:
+        # the crude index-order score is only consumed by Full's ranking
+        # (None/Hybrid exact-rescore every candidate below)
+        centered_b = (before.points - mu_b) * mask_b[:, None]
+        centered_a = (after.points - mu_a) * mask_a[:, None]
+        n_pair = jnp.minimum(before.count, after.count)
+        pair_mask = (
+            jnp.arange(before.padded_size, dtype=jnp.int32) < n_pair
+        ).astype(jnp.float32)
+        # truncate/pad the after side to the before size for index pairing
+        m = before.padded_size
+        ca = (
+            centered_a[:m]
+            if centered_a.shape[0] >= m
+            else jnp.pad(centered_a, ((0, m - centered_a.shape[0]), (0, 0)))
+        )
+        approx_err = _approximated_errors(cands, centered_b, ca, pair_mask)
+        approx_err = approx_err + improper_penalty
+
         # rank by crude score, exactly rescore only the winner
         best_by_approx = jnp.argmin(approx_err)
         one = _Candidates(

@@ -61,22 +61,25 @@ def _build(mesh: Mesh, divergence_guard: bool):
             diverged = jnp.logical_and(
                 jnp.asarray(divergence_guard), err > s.prev_error
             )
+            # fail-fast on non-finite error (see algorithms/icp.py): a
+            # NaN would otherwise spin the whole mesh forever at
+            # max_iterations=-1
+            non_finite = jnp.logical_not(jnp.isfinite(err))
 
-            def pick(cur, new, prev):
+            def pick(cur, new):
                 return jnp.where(
-                    no_corr, cur, jnp.where(diverged, prev, new)
+                    jnp.logical_or(no_corr, diverged), cur, new
                 )
 
             done = jnp.logical_or(
-                no_corr, jnp.logical_or(converged, diverged)
+                jnp.logical_or(no_corr, non_finite),
+                jnp.logical_or(converged, diverged),
             )
             keep = jnp.logical_not(done)
             return ICPState(
-                rotation=pick(s.rotation, r_new, s.prev_rotation),
-                translation=pick(s.translation, t_new, s.prev_translation),
-                prev_rotation=jnp.where(keep, r_new, s.prev_rotation),
-                prev_translation=jnp.where(keep, t_new, s.prev_translation),
-                error=pick(s.error, err, s.prev_error),
+                rotation=pick(s.rotation, r_new),
+                translation=pick(s.translation, t_new),
+                error=pick(s.error, err),
                 prev_error=jnp.where(keep, err, s.prev_error),
                 iterations=jnp.where(done, s.iterations, s.iterations + 1),
                 done=done,
@@ -86,7 +89,6 @@ def _build(mesh: Mesh, divergence_guard: bool):
         zero = jnp.zeros((3,), dtype=jnp.float32)
         init = ICPState(
             rotation=eye, translation=zero,
-            prev_rotation=eye, prev_translation=zero,
             error=jnp.float32(1e5), prev_error=FLT_MAX,
             iterations=jnp.int32(0), done=jnp.asarray(False),
         )

@@ -19,7 +19,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpuslam.algorithms.icp import RegistrationResult
-from tpuslam.algorithms.nicp import MAX_DISTANCE_FOR_COMPARISON, _SIGNS
+from tpuslam.algorithms.nicp import (
+    MAX_DISTANCE_FOR_COMPARISON,
+    _enumerate_candidates,
+    masked_centroid,
+    principal_axes,
+)
 from tpuslam.core.types import Cloud, RigidTransform
 from tpuslam.parallel.mesh import POINTS_AXIS
 from tpuslam.parallel.nn import sharded_nn_combine
@@ -28,17 +33,13 @@ BIG = jnp.float32(3.4e38)
 
 
 @lru_cache(maxsize=16)
-def _build(mesh: Mesh, subcloud_size: int):
+def _build(mesh: Mesh):
     axis = POINTS_AXIS
 
     def run(before_pts, mask_b, tgt_shard, tgt_count, sub_idx):
-        # replicated moments of the moving cloud
-        nb = jnp.maximum(jnp.sum(mask_b), 1.0)
-        mu_b = jnp.sum(before_pts * mask_b[:, None], axis=0) / nb
-        xb = (before_pts - mu_b) * mask_b[:, None]
-        cov_b = jnp.einsum(
-            "nr,nc->rc", xb, xb, precision=jax.lax.Precision.HIGHEST
-        )
+        # replicated moments of the moving cloud (shared helpers)
+        mu_b = masked_centroid(before_pts, mask_b)
+        u_b, _ = principal_axes(before_pts, mask_b)
 
         # sharded moments of the target cloud (psum'd partials)
         shard_size = tgt_shard.shape[0]
@@ -59,18 +60,14 @@ def _build(mesh: Mesh, subcloud_size: int):
             ),
             axis,
         )
-
-        # principal axes, descending (see algorithms/nicp.principal_axes)
-        eb, ub = jnp.linalg.eigh(cov_b)
-        ea, ua = jnp.linalg.eigh(cov_a)
-        u_b = ub[:, ::-1]
+        # descending eigenbasis, same convention as principal_axes
+        _, ua = jnp.linalg.eigh(cov_a)
         u_a = ua[:, ::-1]
 
-        rots = jnp.einsum("rk,sk,ck->src", u_a, _SIGNS, u_b)
-        det_pair = jnp.linalg.det(u_a) * jnp.linalg.det(u_b)
-        dets = jnp.prod(_SIGNS, axis=1) * det_pair
-        trans = mu_a[None, :] - jnp.einsum("src,c->sr", rots, mu_b)
-        proper = dets > 0
+        cands = _enumerate_candidates(u_b, u_a, mu_b, mu_a)
+        rots, trans, proper = (
+            cands.rotations, cands.translations, cands.proper
+        )
 
         subcloud = before_pts[sub_idx]
         sub_mask = mask_b[sub_idx]
@@ -119,7 +116,7 @@ def nicp_register_sharded(
         sub_idx = rng.permutation(n_valid)[:k].astype(np.int32)
     else:
         sub_idx = np.arange(k, dtype=np.int32)
-    fn = _build(mesh, k)
+    fn = _build(mesh)
     rotation, translation, n_scored, error = fn(
         before.points,
         before.mask(),

@@ -35,20 +35,16 @@ def sharded_nn_combine(
     block; ``tgt_count``: replicated global valid count.  Returns replicated
     (global_index i32[N], sq_distance f32[N], matched_points f32[N,3]).
     """
+    from tpuslam.ops.nn import _chunk_nn
+
     shard_size = tgt_shard.shape[0]
     offset = jax.lax.axis_index(axis) * shard_size
     local_gidx = offset + jnp.arange(shard_size, dtype=jnp.int32)
     invalid = local_gidx >= tgt_count
 
-    # exact f32 per-coordinate form: the |a|^2+|b|^2-2ab shortcut cancels
-    # catastrophically under the TPU's default bf16 matmul passes (see
-    # tpuslam.kernels.pallas_nn module doc)
-    d = (src[:, 0:1] - tgt_shard[:, 0][None, :]) ** 2
-    d += (src[:, 1:2] - tgt_shard[:, 1][None, :]) ** 2
-    d += (src[:, 2:3] - tgt_shard[:, 2][None, :]) ** 2
-    d = jnp.where(invalid[None, :], BIG, d)
-    il = jnp.argmin(d, axis=1).astype(jnp.int32)
-    dl = jnp.maximum(jnp.min(d, axis=1), 0.0)
+    # the shared exact-FMA distance/argmin block — the formulation IS the
+    # cross-path contract (see tpuslam.ops.nn / kernels.pallas_nn)
+    il, dl = _chunk_nn(src, tgt_shard, invalid)
     dl = jnp.where(dl >= BIG, BIG, dl)
     gl = il + offset
 
