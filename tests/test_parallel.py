@@ -152,3 +152,33 @@ def test_sharded_nicp_recovers(rng, mesh):
     )
     assert mse < 1e-3
     assert int(result.iterations) == 4
+
+
+def test_pairs_sharded_matches_batch(rng, mesh):
+    from tpuslam.algorithms.batch import icp_register_batch, stack_clouds
+    from tpuslam.parallel.batch import (
+        icp_register_pairs_sharded,
+        shard_pairs,
+    )
+
+    befores, afters = [], []
+    for _ in range(8):  # one pair per virtual device
+        b = (rng.random((300, 3)) * 10).astype(np.float32)
+        r, t = random_rigid(rng, angle=0.2, trans=1.0)
+        befores.append(b)
+        afters.append((b @ r.T + t).astype(np.float32))
+    sb, sa = stack_clouds(befores), stack_clouds(afters)
+
+    local = icp_register_batch(sb, sa, max_iterations=25)
+    sharded = icp_register_pairs_sharded(
+        shard_pairs(sb, mesh), shard_pairs(sa, mesh), mesh,
+        max_iterations=25,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.rotation),
+        np.asarray(local.transform.rotation),
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.iterations), np.asarray(local.iterations)
+    )
