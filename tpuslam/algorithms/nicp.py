@@ -186,8 +186,10 @@ def nicp_register(
     k = min(-(-k_req // 128) * 128, before.padded_size)
     key = jax.random.PRNGKey(seed)
     scores = jax.random.uniform(key, (before.padded_size,))
-    scores = jnp.where(mask_b > 0, scores, 2.0)  # invalid rows sort last
-    order = jnp.argsort(scores)[:k]
+    scores = jnp.where(mask_b > 0, scores, -1.0)  # invalid rows lose
+    # top_k beats a full argsort (O(N log k) vs O(N log^2 N) bitonic) —
+    # at 1M points the argsort dominated the whole NICP run
+    _, order = jax.lax.top_k(scores, k)
     subcloud = before.points[order]
     sub_mask = mask_b[order] * (
         jnp.arange(k, dtype=jnp.int32) < k_req
