@@ -134,3 +134,42 @@ def test_print_roundtrip(tmp_path, capsys):
     text = c.print()
     assert "method: icp" in text
     assert "max-distance-squared: 1000.0" in text
+
+
+def test_cpd_use_fgt_extension_key(tmp_path):
+    """Extension key: cpd-use-fgt flows parser -> Configuration ->
+    registry -> FGT-backed E-step (tpuslam.algorithms.cpd)."""
+    import json
+
+    import numpy as np
+
+    from tpuslam.algorithms.registry import run_with_configuration
+    from tpuslam.config.parser import ConfigParser
+
+    cfg = {
+        "method": "cpd",
+        "before-path": "data/bunny.obj",
+        "after-path": "data/bunny.obj",
+        "cloud-before-resize": 256,
+        "cloud-after-resize": 256,
+        "cloud-spread": 10.0,
+        "random-seed": 5,
+        "max-iterations": 40,
+        "approximation-type": "hybrid",
+        "cpd-weight": 0.1,
+        "cpd-use-fgt": True,
+        "rotation-range": 0.15,
+        "translation-range": 0.5,
+    }
+    p = tmp_path / "fgt.json"
+    p.write_text(json.dumps(cfg))
+    parser = ConfigParser([str(p)])
+    assert parser.is_correct()
+    config = parser.get_configuration()
+    assert config.cpd_use_fgt is True
+
+    from tpuslam.data.synthesis import get_clouds_from_config
+
+    before, after, (gt_r, gt_t) = get_clouds_from_config(config)
+    rot, trans, iters, err = run_with_configuration(before, after, config)
+    assert np.all(np.isfinite(rot)) and iters > 0

@@ -46,6 +46,10 @@ from tpuslam.core.types import round_up
 
 BIG = 3.4e38  # Python literals: jnp scalars would be captured consts
 IMAX = 2**31 - 1
+# invalid-target sentinel: far enough that d^2 exceeds any real distance
+# (and saturates toward +inf, which still loses to the BIG incumbent),
+# finite enough that the arithmetic stays IEEE-ordered
+SENTINEL = 1e19
 
 # internal padding granule; [BM, BN] f32 tile + argmin temporaries at
 # 2048x1024 measured best on v5e within the VMEM budget
@@ -59,7 +63,7 @@ def _pick_block(n: int, prefer: Tuple[int, ...]) -> int:
     return n
 
 
-def _nn_kernel(count_ref, srcT_ref, tgt_ref, dist_ref, idx_ref):
+def _nn_kernel(srcT_ref, tgt_ref, dist_ref, idx_ref):
     j = pl.program_id(1)
     bm = tgt_ref.shape[0]
     bn = srcT_ref.shape[1]
@@ -71,14 +75,11 @@ def _nn_kernel(count_ref, srcT_ref, tgt_ref, dist_ref, idx_ref):
 
     sT = srcT_ref[:]  # [3, BN] — sources on lanes
     t = tgt_ref[:]  # [BM, 3] — targets on sublanes
+    # invalid target rows carry the caller's far sentinel, so their d
+    # overflows past any real distance — no per-tile validity select
     d = (t[:, 0:1] - sT[0:1, :]) ** 2
     d += (t[:, 1:2] - sT[1:2, :]) ** 2
     d += (t[:, 2:3] - sT[2:3, :]) ** 2
-
-    valid = (
-        j * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
-    ) < count_ref[0]
-    d = jnp.where(valid, d, BIG)
 
     tile_min = jnp.min(d, axis=0, keepdims=True)  # [1, BN]
     # first-occurrence argmin emulated with a row-index min
@@ -117,21 +118,25 @@ def nearest_neighbors_pallas(
     # whose product stays within the VMEM budget by construction
     bn = _pick_block(n, (2048, 1024))
     bm = _pick_block(m, (1024,))
-    count = jnp.asarray(tgt_count, jnp.int32).reshape(1)
+    # push invalid rows (>= count, including internal padding) to the far
+    # sentinel once, instead of a validity select in every kernel tile
+    row_invalid = (
+        jnp.arange(m, dtype=jnp.int32) >= jnp.asarray(tgt_count, jnp.int32)
+    )
+    tgt = jnp.where(row_invalid[:, None], SENTINEL, tgt)
 
     grid = (n // bn, m // bm)
     dist, idx = pl.pallas_call(
         _nn_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+        grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((3, bn), lambda i, j, *_: (0, i)),
-                pl.BlockSpec((bm, 3), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((3, bn), lambda i, j: (0, i)),
+                pl.BlockSpec((bm, 3), lambda i, j: (j, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, bn), lambda i, j, *_: (0, i)),
-                pl.BlockSpec((1, bn), lambda i, j, *_: (0, i)),
+                pl.BlockSpec((1, bn), lambda i, j: (0, i)),
+                pl.BlockSpec((1, bn), lambda i, j: (0, i)),
             ],
         ),
         out_shape=[
@@ -139,10 +144,13 @@ def nearest_neighbors_pallas(
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=14 * n * m,
+            flops=13 * n * m,
             bytes_accessed=(n * 3 + m * 3 + 2 * n) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(count, src.T, tgt)
-    return idx.reshape(n)[:n0], dist.reshape(n)[:n0]
+    )(src.T, tgt)
+    # sentinel tiles report astronomically large "distances"; restore the
+    # exact BIG contract for sources with no valid target at all
+    dist = jnp.minimum(dist.reshape(n), BIG)
+    return idx.reshape(n)[:n0], dist[:n0]
