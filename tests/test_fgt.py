@@ -175,3 +175,29 @@ def test_cpd_register_with_fgt_recovers(rng):
         )
     )
     assert mse < 1e-2
+
+
+def test_cpd_register_use_fgt_actually_runs_fgt(rng, monkeypatch):
+    """The use_fgt flag must route through cpd_estep_fgt (guards against
+    the flag silently becoming a no-op)."""
+    import tpuslam.algorithms.cpd as cpd_mod
+    from tpuslam.config.configuration import ApproximationType
+
+    calls = []
+    original = cpd_mod.cpd_estep_fgt
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return original(*args, **kwargs)
+
+    monkeypatch.setattr(cpd_mod, "cpd_estep_fgt", spy)
+    before = (rng.random((200, 3)) * 4.0).astype(np.float32)
+    after = (before + 0.2).astype(np.float32)
+    # unusual static fgt_k forces a fresh trace so the spy is seen
+    cpd_mod.cpd_register(
+        pad_cloud(before), pad_cloud(after),
+        weight=0.1, max_iterations=3,
+        approximation_type=ApproximationType.Full,
+        use_fgt=True, fgt_k=47,
+    )
+    assert calls, "cpd_estep_fgt was never traced"

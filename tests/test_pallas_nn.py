@@ -79,3 +79,21 @@ def test_internal_padding_multi_tile(rng):
     np.testing.assert_allclose(
         np.asarray(dist_p), np.asarray(dist_r), rtol=1e-5, atol=1e-5
     )
+
+
+def test_no_valid_target_returns_exact_big(rng):
+    """Cross-backend no-match contract: with zero valid targets the
+    distance must be EXACTLY the oracle's BIG for any source coords
+    (the sentinel arithmetic is input-dependent without the remap)."""
+    from tpuslam.ops.nn import BIG as REF_BIG
+
+    for shift in (0.0, -1e20):  # the large-negative case saturates to inf
+        src = (rng.random((128, 3)).astype(np.float32) + np.float32(shift))
+        cloud = pad_cloud(np.zeros((1, 3), np.float32), multiple=128)
+        cloud = cloud._replace(count=jnp.int32(0))
+        _, dist = nearest_neighbors_pallas(
+            jnp.asarray(src), cloud.points, cloud.count, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dist), np.full(128, np.float32(REF_BIG))
+        )

@@ -29,7 +29,10 @@ Tie-breaking matches the reference's strict ``<`` scan
 target row; across tiles a strictly-smaller distance is required to
 replace the incumbent, so earlier (lower-index) tiles win ties.
 
-Padded target rows (index >= count) are masked to +BIG so they never win.
+Invalid target rows (index >= count, including internal padding) are
+pushed to a far sentinel coordinate by the wrapper; their distances
+(~3e38) exceed any real distance, and the wrapper maps them back to the
+exact BIG no-match value of the jnp oracle.
 """
 
 from __future__ import annotations
@@ -40,16 +43,16 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from tpuslam.core.types import round_up
 
 BIG = 3.4e38  # Python literals: jnp scalars would be captured consts
 IMAX = 2**31 - 1
-# invalid-target sentinel: far enough that d^2 exceeds any real distance
-# (and saturates toward +inf, which still loses to the BIG incumbent),
-# finite enough that the arithmetic stays IEEE-ordered
+# invalid-target sentinel: d^2 against it is ~3e38 (or +inf after
+# rounding), far above any real distance; the wrapper maps every
+# sentinel-range distance back to the oracle's exact BIG no-match value
 SENTINEL = 1e19
+_SENTINEL_DIST = 1e37  # any distance this large can only be a sentinel
 
 # internal padding granule; [BM, BN] f32 tile + argmin temporaries at
 # 2048x1024 measured best on v5e within the VMEM budget
@@ -150,7 +153,10 @@ def nearest_neighbors_pallas(
         ),
         interpret=interpret,
     )(src.T, tgt)
-    # sentinel tiles report astronomically large "distances"; restore the
-    # exact BIG contract for sources with no valid target at all
-    dist = jnp.minimum(dist.reshape(n), BIG)
+    # sentinel rows report astronomical "distances" (~3e38, or inf when
+    # the arithmetic saturates — input-dependent); map the whole sentinel
+    # range back to the oracle's exact BIG so the no-match contract is
+    # identical across backends
+    dist = dist.reshape(n)
+    dist = jnp.where(dist >= _SENTINEL_DIST, BIG, dist)
     return idx.reshape(n)[:n0], dist[:n0]
