@@ -69,3 +69,24 @@ def test_face_free_obj_is_vertex_list(tmp_path):
     p.write_text("v 1 2 3\nv 4 5 6\n")
     got = bindings.load_obj(str(p))
     np.testing.assert_allclose(got, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_malformed_off_header_is_empty_not_crash(tmp_path):
+    # ADVICE r1: `OFF 99999999999 0 0` used to bad_alloc through the C ABI
+    # and terminate the process; must yield the empty-cloud contract.
+    p = tmp_path / "bad.off"
+    p.write_text("OFF 99999999999 0 0\n1 2 3\n")
+    assert bindings.load_off(str(p)).shape == (0, 3)
+
+
+def test_face_over_64_corners_keeps_python_parity(tmp_path):
+    # ADVICE r1: faces used to be truncated at 64 corners in the native
+    # parser while the Python oracle keeps all of them.
+    p = tmp_path / "big.obj"
+    lines = [f"v {i} {i} {i}" for i in range(100)]
+    lines.append("f " + " ".join(str(i + 1) for i in range(100)))
+    p.write_text("\n".join(lines) + "\n")
+    want = _load_obj_python(str(p))
+    got = bindings.load_obj(str(p))
+    assert got.shape == (100, 3)
+    np.testing.assert_array_equal(got, want)

@@ -167,3 +167,32 @@ def test_icp_spatial_matches_dense_path(rng):
     assert float(spatial.error) == pytest.approx(
         float(dense.error), rel=1e-3, abs=1e-6
     )
+
+
+def test_padded_source_tiles_do_not_trip_overflow():
+    # ADVICE r1: a fully-padded source tile carries the sentinel far
+    # center; in f32 its distances to every target tile round identically,
+    # so every tile looked admissible and the overflow flag silently
+    # forced the dense fallback.  Padded tiles must count zero.
+    n, m, bn, bm = 512, 512, 128, 128
+    # 2 valid source tiles clustered at the origin; 2 padded tiles.
+    src_padded = np.zeros((n, 3), np.float32)
+    src_padded[:256] = np.linspace(0, 0.1, 256 * 3).reshape(256, 3)
+    mask_s = np.zeros(n, np.float32)
+    mask_s[:256] = 1.0
+    # target: tile 0 near the origin, tiles 1-3 far away in distinct spots
+    tgt = np.zeros((m, 3), np.float32)
+    tgt[:128] = np.linspace(0, 0.1, 128 * 3).reshape(128, 3)
+    for t in range(1, 4):
+        tgt[t * 128:(t + 1) * 128] = (
+            np.linspace(0, 0.1, 128 * 3).reshape(128, 3) + 100.0 * t
+        )
+    sb = tile_bounds(jnp.asarray(src_padded), jnp.asarray(mask_s), bn)
+    tb = tile_bounds(jnp.asarray(tgt), jnp.asarray(np.ones(m, np.float32)),
+                     bm)
+    # each valid source tile admits only target tile 0; before the fix the
+    # two padded tiles admitted all 4 tiles and tripped the overflow.
+    cand, overflow = select_candidates(sb, tb, max_candidates=2)
+    assert not bool(overflow)
+    cand = np.asarray(cand)
+    assert cand[0, 0] == 0 and cand[1, 0] == 0

@@ -79,8 +79,7 @@ long load_obj_points(const std::string &text, std::vector<float> *out) {
     } else if (p < end && p[0] == 'f' &&
                (p + 1 == end || p[1] == ' ' || p[1] == '\t')) {
       const char *q = p + 1;
-      long face[64];
-      int nc = 0;
+      std::vector<long> face;
       const long nverts = static_cast<long>(verts.size() / 3);
       while (true) {
         q = skip_ws(q, end);
@@ -93,11 +92,10 @@ long load_obj_points(const std::string &text, std::vector<float> *out) {
         while (q < end && *q != ' ' && *q != '\t' && *q != '\n' &&
                *q != '\r')
           ++q;
-        long resolved = idx > 0 ? idx - 1 : nverts + idx;
-        if (nc < 64) face[nc++] = resolved;
+        face.push_back(idx > 0 ? idx - 1 : nverts + idx);
       }
-      if (nc >= 3)
-        for (int i = 0; i < nc; ++i) corners.push_back(face[i]);
+      if (face.size() >= 3)
+        corners.insert(corners.end(), face.begin(), face.end());
     }
     p = next_line(p, end);
   }
@@ -140,6 +138,11 @@ long load_off_points(const std::string &text, std::vector<float> *out) {
   }
   if (have < 3 || counts[0] <= 0) return 0;
   const long nv = counts[0];
+  // Bound nv by what the remaining text could possibly hold (each vertex
+  // needs at least 6 bytes: three numbers + separators + newline), so a
+  // corrupt header like `OFF 99999999999 0 0` cannot drive reserve() into
+  // std::bad_alloc across the C ABI (parse failure must yield 0 points).
+  if (nv > static_cast<long>(end - p)) return 0;
   out->reserve(static_cast<size_t>(nv) * 3);
   long filled = 0;
   while (filled < nv && p < end) {
@@ -181,30 +184,37 @@ long emit(std::vector<float> &&pts, long count, float **out) {
   return count;
 }
 
+// No exception may cross the C ABI: any allocation failure (bad_alloc on
+// a corrupt file) counts as a parse failure and yields 0 points, matching
+// the Python fallback which catches MemoryError.
+long load_guarded(const char *path,
+                  long (*parse)(const std::string &, std::vector<float> *),
+                  float **out) {
+  try {
+    std::string text = slurp(path);
+    if (text.empty()) {
+      *out = nullptr;
+      return 0;
+    }
+    std::vector<float> pts;
+    long n = parse(text, &pts);
+    return emit(std::move(pts), n, out);
+  } catch (...) {
+    *out = nullptr;
+    return 0;
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
 long tpuslam_load_obj(const char *path, float **out) {
-  std::string text = slurp(path);
-  if (text.empty()) {
-    *out = nullptr;
-    return 0;
-  }
-  std::vector<float> pts;
-  long n = load_obj_points(text, &pts);
-  return emit(std::move(pts), n, out);
+  return load_guarded(path, load_obj_points, out);
 }
 
 long tpuslam_load_off(const char *path, float **out) {
-  std::string text = slurp(path);
-  if (text.empty()) {
-    *out = nullptr;
-    return 0;
-  }
-  std::vector<float> pts;
-  long n = load_off_points(text, &pts);
-  return emit(std::move(pts), n, out);
+  return load_guarded(path, load_off_points, out);
 }
 
 void tpuslam_free(float *p) { std::free(p); }

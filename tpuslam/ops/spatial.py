@@ -119,7 +119,12 @@ def select_candidates(
     ub = (dc + rsum) ** 2
     ub_best = jnp.min(ub, axis=1, keepdims=True)  # [T_s, 1]
     admissible = lb <= ub_best
-    counts = jnp.sum(admissible, axis=1)
+    # Fully-padded source tiles carry the sentinel far center (1e15); in
+    # f32 their distances to every target tile round identically, making
+    # every tile "admissible".  Their outputs are masked anyway, so they
+    # must not trip the overflow fallback to the dense scan.
+    src_valid = src_bounds.centers[:, 0] < jnp.float32(1e14)
+    counts = jnp.where(src_valid, jnp.sum(admissible, axis=1), 0)
     overflowed = jnp.any(counts > max_candidates)
 
     # take the L admissible tiles with smallest lb (ties by tile index)
