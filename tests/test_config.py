@@ -173,3 +173,12 @@ def test_cpd_use_fgt_extension_key(tmp_path):
     before, after, (gt_r, gt_t) = get_clouds_from_config(config)
     rot, trans, iters, err = run_with_configuration(before, after, config)
     assert np.all(np.isfinite(rot)) and iters > 0
+
+
+def test_cpd_centroid_init_extension_key(tmp_path):
+    """Extension key: cpd-centroid-init flows parser -> Configuration;
+    defaults false (reference parity: EM always starts from identity)."""
+    c = parse(tmp_path, BASE).get_configuration()
+    assert c.cpd_centroid_init is False
+    c = parse(tmp_path, {**BASE, "cpd-centroid-init": True}).get_configuration()
+    assert c.cpd_centroid_init is True

@@ -211,3 +211,51 @@ def test_history_trace(rng):
     assert np.all(np.isnan(hist[iters:]))
     # last recorded sigma2 equals the reported error
     assert hist[iters - 1, 0] == pytest.approx(float(result.error))
+
+
+def test_free_scale_collapse_and_centroid_init_rescue(rng):
+    """Free-scale CPD started from identity collapses at large
+    translations: near-uniform responsibilities make the cross-covariance
+    vanish, the first M-step drives ``scale`` toward 0, and EM stalls in
+    that degenerate optimum (faithful to ``coherentpointdrift.cpp``, which
+    also starts from identity).  ``centroid_init=True`` (extension) starts
+    from the centroid-difference translation and recovers the transform."""
+    before = (rng.random((300, 3)) * 10.0).astype(np.float32)
+    r, _ = random_rigid(rng, angle=0.3, trans=0.0)
+    t = np.array([30.0, -18.0, 22.0], np.float32)
+    after = (before @ r.T + t).astype(np.float32)
+
+    collapsed = cpd_register(
+        pad_cloud(before), pad_cloud(after), weight=0.1,
+        const_scale=False, max_iterations=150, tolerance=1e-5,
+    )
+    assert float(collapsed.transform.scale) < 0.1  # degenerate optimum
+
+    rescued = cpd_register(
+        pad_cloud(before), pad_cloud(after), weight=0.1,
+        const_scale=False, centroid_init=True,
+        max_iterations=150, tolerance=1e-5,
+    )
+    assert float(rescued.transform.scale) == pytest.approx(1.0, abs=0.01)
+    np.testing.assert_allclose(
+        float(rescued.transform.scale)
+        * np.asarray(rescued.transform.rotation), r, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(rescued.transform.translation), t, atol=0.1)
+
+
+def test_centroid_init_noop_when_centroids_match(rng):
+    """With coincident centroids the centroid start is the zero start, so
+    both paths must agree (same EM trajectory)."""
+    before = (rng.random((200, 3)) * 4.0).astype(np.float32)
+    before -= before.mean(axis=0)
+    r, _ = random_rigid(rng, angle=0.2, trans=0.0)
+    after = (before @ r.T).astype(np.float32)
+    res_a = cpd_register(pad_cloud(before), pad_cloud(after),
+                         weight=0.1, max_iterations=30)
+    res_b = cpd_register(pad_cloud(before), pad_cloud(after),
+                         weight=0.1, max_iterations=30, centroid_init=True)
+    np.testing.assert_allclose(
+        np.asarray(res_a.transform.rotation),
+        np.asarray(res_b.transform.rotation), atol=1e-5)
+    assert int(res_a.iterations) == int(res_b.iterations)

@@ -62,6 +62,10 @@ def test_convergence_test_set_shape():
     combos = {c.transformation_parameters for c in cpd}
     assert len(combos) == 9
     assert cpd[0].cpd_tolerance == pytest.approx(1e-4)
+    # The reference generator builds Configuration structs directly
+    # (testset.cpp:137), so the STRUCT default CpdConstScale = true
+    # (configuration.h:34) governs its published convergence study.
+    assert all(c.cpd_const_scale for c in cpd)
 
 
 def test_model_ladder_fallback_to_synthetic():

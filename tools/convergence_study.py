@@ -75,6 +75,10 @@ def run_one(method, size, rot, trans, seed):
         nicp_iterations=16,
         cpd_weight=0.1,
         cpd_tolerance=1e-4,
+        # reference struct default (configuration.h:34) — its convergence
+        # generator bypasses the parser, so const scale was in effect for
+        # the published study; free scale collapses at translation 30
+        cpd_const_scale=True,
         random_seed=seed,
     )
     before, after, (gt_r, gt_t) = get_clouds_from_config(config)

@@ -352,7 +352,7 @@ class CPDState(NamedTuple):
     static_argnames=(
         "const_scale", "approximation_type", "use_fgt",
         "order_of_truncation", "fgt_k", "verbose", "record_history",
-        "history_length", "use_pallas",
+        "history_length", "use_pallas", "centroid_init",
     ),
 )
 def cpd_register(
@@ -372,6 +372,7 @@ def cpd_register(
     record_history: bool = False,
     history_length: int = 256,
     use_pallas=None,
+    centroid_init: bool = False,
 ) -> RegistrationResult:
     """Register ``before`` (the moving GMM centroids) onto ``after``.
 
@@ -382,6 +383,15 @@ def cpd_register(
     phases instead, with ``fgt_k`` centers, truncation order
     ``order_of_truncation`` and far-field radius ``ratio_of_far_field``
     (``cpdutils.cpp:33-36``).
+
+    ``centroid_init=True`` starts EM from the centroid-difference
+    translation instead of zero (and computes sigma^2_0 from the
+    pre-aligned clouds).  Off by default for reference parity
+    (``coherentpointdrift.cpp`` always starts from identity); it rescues
+    the free-scale mode at large translations, where a zero start lets
+    the first M-step collapse ``scale`` toward 0 (near-uniform
+    responsibilities make the cross-covariance vanish) and EM stalls in
+    that degenerate optimum.
     """
     moving = before.points
     target = after.points
@@ -395,7 +405,15 @@ def cpd_register(
     tolerance = jnp.float32(tolerance)
     max_iterations = jnp.asarray(max_iterations, jnp.int32)
 
-    sigma2_0 = sigma_squared_init(moving, mask_b, target, mask_a)
+    if centroid_init:
+        t0 = (
+            jnp.sum(target * mask_a[:, None], axis=0) / n
+            - jnp.sum(moving * mask_b[:, None], axis=0) / m
+        )
+        sigma2_0 = sigma_squared_init(moving + t0, mask_b, target, mask_a)
+    else:
+        t0 = jnp.zeros((3,), jnp.float32)
+        sigma2_0 = sigma_squared_init(moving, mask_b, target, mask_a)
     c_init = uniform_constant(sigma2_0, weight, m, n)
 
     def cond(s: CPDState):
@@ -487,7 +505,7 @@ def cpd_register(
 
     init = CPDState(
         rotation=jnp.eye(3, dtype=jnp.float32),
-        translation=jnp.zeros((3,), jnp.float32),
+        translation=t0,
         scale=jnp.float32(1.0),
         sigma2=sigma2_0,
         log_likelihood=jnp.float32(0.0),

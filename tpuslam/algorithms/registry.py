@@ -121,6 +121,7 @@ def _run_cpd(
         ratio_of_far_field=config.ratio_of_far_field,
         order_of_truncation=config.order_of_truncation,
         use_fgt=config.cpd_use_fgt,
+        centroid_init=config.cpd_centroid_init,
     )
     # the reference returns (scale * R, t) (coherentpointdrift.cpp:123)
     rotation = np.asarray(result.transform.scale) * np.asarray(

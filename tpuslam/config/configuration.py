@@ -91,6 +91,9 @@ class Configuration:
     # approximation in CPD full/hybrid phases instead of the exact blocked
     # fast path
     cpd_use_fgt: bool = False
+    # extension: start CPD EM from the centroid-difference translation
+    # (rescues free-scale mode at large translations; see cpd_register)
+    cpd_centroid_init: bool = False
 
     def print(self) -> str:
         """Config echo in the spirit of ``configuration.cpp:4-114``."""
@@ -138,6 +141,7 @@ class Configuration:
             f"fgt-ratio-of-far-field: {self.ratio_of_far_field}",
             f"fgt-order-of-truncation: {self.order_of_truncation}",
             f"cpd-use-fgt: {str(self.cpd_use_fgt).lower()}",
+            f"cpd-centroid-init: {str(self.cpd_centroid_init).lower()}",
         ]
         text = "\n".join(lines)
         print(text)

@@ -207,6 +207,9 @@ class ConfigParser:
         # approximation for CPD full/hybrid phases instead of the exact
         # blocked fast path (see tpuslam.algorithms.cpd module doc)
         c.cpd_use_fgt = bool(opt(parsed, "cpd-use-fgt", False))
+        # extension key: centroid-difference EM start for CPD (rescues
+        # free-scale registration at large translations)
+        c.cpd_centroid_init = bool(opt(parsed, "cpd-centroid-init", False))
 
     def _validate(self) -> None:
         if self.config.transformation is None and (

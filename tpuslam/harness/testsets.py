@@ -147,6 +147,15 @@ def get_convergence_test_set(method: ComputationMethod) -> List[Configuration]:
                 nicp_iterations=16,
                 cpd_weight=0.1,
                 cpd_tolerance=1e-4,
+                # The reference generator builds Configuration structs
+                # directly (testset.cpp:137), bypassing the parser, so the
+                # STRUCT default CpdConstScale = true (configuration.h:34)
+                # is in effect for its published convergence study — not
+                # the parser default false.  Free scale collapses at
+                # translation 30 (scale -> ~0.02, sigma^2 plateaus); const
+                # scale converges every combo, matching the published
+                # "> 0.9 throughout" (documentation.tex:626-642).
+                cpd_const_scale=True,
             )
             for rot, trans in combos:
                 out.append(
