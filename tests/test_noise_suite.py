@@ -7,9 +7,14 @@ Oracle strategy (SURVEY §4): every config registers a cloud against a
 transformed copy of itself (possibly noised/outliered/part-removed), so
 the injected (R, t) is exactly known.  The reference recorded outcomes by
 hand in a spreadsheet (missing blob); here every config must *run* and
-produce a finite, proper result, must not end worse than where it
-started, and the clean self-registration configs must actually recover
-the injected transform.
+produce a finite, proper result, and the outcome oracle is tiered:
+self-registrations at moderate angle (including every noised/outliered
+one — robustness is the point of the suite) must RECOVER the injected
+transform; cross-model part-removed pairs must substantially align; only
+large-rotation configs (flipped-local-optimum regime, as in the
+reference's CPD) fall back to never-worse-than-identity.
+``tools/noise_suite_full.py`` runs the same table at full size on TPU
+and writes the per-config pass/fail table.
 
 Adaptations, all visible in the table/code:
 * models that are missing blobs in this checkout (rose/airbus/mustang*/
@@ -104,12 +109,25 @@ def _build_configuration(e: dict) -> Configuration:
     )
 
 
-def _is_clean_self_registration(e: dict) -> bool:
+def _is_self_pair(e: dict, config: Configuration) -> bool:
+    """True when both sides are the same cloud (including the documented
+    synthetic substitution, which collapses a missing-blob pair to
+    self-registration) — the injected transform is then exactly
+    recoverable even under noise/outliers, because the ground-truth MSE
+    metric compares the recovered vs injected transform on the same
+    points (the noise cancels)."""
     return (
         e["before"] == e["after"]
-        and not (e.get("noise_share_before") or e.get("noise_share_after"))
-        and not (e.get("outliers_before") or e.get("outliers_after"))
+        or config.before_path == config.after_path
     )
+
+
+def _angle_deg(e: dict) -> float:
+    r = np.asarray(e["rotation"], np.float32).reshape(3, 3)
+    s = scale_of(r)
+    return float(np.degrees(
+        np.arccos(np.clip((np.trace(r / s) - 1) / 2, -1, 1))
+    ))
 
 
 @pytest.mark.slow
@@ -135,25 +153,38 @@ def test_noise_config(entry):
     pure = rotation / scale
     np.testing.assert_allclose(pure @ pure.T, np.eye(3), atol=5e-2)
 
-    # never end worse than the un-registered start
+    # ground-truth transform error (noise cancels in this metric: both
+    # sides map the same `before` points, so the comparison measures the
+    # recovered-vs-injected transform, not the noise floor)
     target = before @ gt_r.T + gt_t
     mse_result = float(
         np.mean(np.sum((before @ rotation.T + translation - target) ** 2, -1))
     )
     mse_identity = float(np.mean(np.sum((before - target) ** 2, -1)))
-    assert mse_result <= mse_identity * 1.05
+    angle = _angle_deg(entry)
 
-    if _is_clean_self_registration(entry):
-        # clean configs: CPD must substantially reduce the error; large
-        # rotations (the suite goes up to 195 deg) may settle in a flipped
-        # local optimum exactly as the reference's CPD does, so full
-        # recovery is only asserted for moderate angles
-        angle = np.degrees(
-            np.arccos(np.clip((np.trace(gt_r / scale_of(gt_r)) - 1) / 2, -1, 1))
+    if _is_self_pair(entry, config) and angle <= 60.0:
+        # robustness oracle: every noised/outliered self-registration at
+        # moderate angle must RECOVER the injected transform, not merely
+        # not regress — measured headroom: worst observed ratio 2e-3
+        # (config 39, noise share 0.8), threshold 2.5x above it
+        assert mse_result <= mse_identity * 0.005, (
+            f"config {entry['id']}: transform not recovered "
+            f"(mse {mse_result:.4f} vs identity {mse_identity:.4f})"
         )
-        if angle <= 60.0:
-            spread_sq = 100.0  # cloud-spread 10
-            assert mse_result < 0.05 * spread_sq
+    elif not _is_self_pair(entry, config) and angle <= 60.0:
+        # cross-model / part-removed pairs (duck variants vs bird): exact
+        # recovery is ill-defined — different shapes — but registration
+        # must still substantially align them (observed 0.1-0.37x)
+        assert mse_result <= mse_identity * 0.5, (
+            f"config {entry['id']}: pair alignment did not improve "
+            f"enough (mse {mse_result:.4f} vs identity {mse_identity:.4f})"
+        )
+    else:
+        # large rotations (up to 195 deg): CPD may settle in a flipped
+        # local optimum exactly as the reference's does — never-worse is
+        # the honest bound there
+        assert mse_result <= mse_identity * 1.05
 
 
 def scale_of(r: np.ndarray) -> float:

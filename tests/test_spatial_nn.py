@@ -196,3 +196,61 @@ def test_padded_source_tiles_do_not_trip_overflow():
     assert not bool(overflow)
     cand = np.asarray(cand)
     assert cand[0, 0] == 0 and cand[1, 0] == 0
+
+
+def test_warm_candidates_match_dense(rng):
+    """Warm-start admissibility: previous exact NN distances + per-point
+    displacement give a proven upper bound; the sparse result must stay
+    bit-identical to the dense oracle after the sources move."""
+    n, m = 1024, 2048
+    src = (rng.random((n, 3)) * 10.0).astype(np.float32)
+    tgt = pad_cloud((rng.random((m, 3)) * 10.0).astype(np.float32),
+                    multiple=m)
+    mask_s = jnp.ones((n,), jnp.float32)
+    perm_s = morton_permutation(jnp.asarray(src), mask_s)
+    src_sorted = jnp.asarray(src)[perm_s]
+    target = prepare_target(tgt.points, tgt.mask(), tgt.count, bm=256)
+
+    _, dist0 = nearest_neighbors_ref(src_sorted, tgt.points, tgt.count)
+
+    # a small rigid step, as between ICP iterations
+    from tests.conftest import random_rigid
+
+    r, t = random_rigid(rng, angle=0.02, trans=0.05)
+    moved = (np.asarray(src_sorted) @ r.T + t).astype(np.float32)
+    delta = jnp.linalg.norm(jnp.asarray(moved) - src_sorted, axis=-1)
+
+    idx_sp, dist_sp = nearest_neighbors_spatial(
+        jnp.asarray(moved), mask_s, target, bn=256, bm=256,
+        max_candidates=8, interpret=True, warm=(dist0, delta),
+    )
+    idx_ref, dist_ref = nearest_neighbors_ref(
+        jnp.asarray(moved), tgt.points, tgt.count
+    )
+    np.testing.assert_array_equal(np.asarray(idx_sp), np.asarray(idx_ref))
+    np.testing.assert_array_equal(
+        np.asarray(dist_sp), np.asarray(dist_ref)
+    )
+
+
+def test_warm_large_motion_overflows_to_dense(rng):
+    """A huge displacement makes every tile admissible; the warm path
+    must overflow the candidate budget and take the dense kernel."""
+    n = m = 512
+    src = (rng.random((n, 3)) * 10.0).astype(np.float32)
+    tgt = pad_cloud((rng.random((m, 3)) * 10.0).astype(np.float32),
+                    multiple=m)
+    mask_s = jnp.ones((n,), jnp.float32)
+    perm_s = morton_permutation(jnp.asarray(src), mask_s)
+    src_sorted = jnp.asarray(src)[perm_s]
+    target = prepare_target(tgt.points, tgt.mask(), tgt.count, bm=128)
+    _, dist0 = nearest_neighbors_ref(src_sorted, tgt.points, tgt.count)
+    delta = jnp.full((n,), 50.0, jnp.float32)
+    idx_sp, dist_sp = nearest_neighbors_spatial(
+        src_sorted, mask_s, target, bn=128, bm=128,
+        max_candidates=1, interpret=True, warm=(dist0, delta),
+    )
+    idx_ref, dist_ref = nearest_neighbors_ref(
+        src_sorted, tgt.points, tgt.count
+    )
+    np.testing.assert_array_equal(np.asarray(idx_sp), np.asarray(idx_ref))

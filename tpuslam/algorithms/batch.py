@@ -58,6 +58,7 @@ def icp_register_batch(
         max_distance_squared=max_distance_squared,
         max_iterations=max_iterations,
         use_pallas=False,  # batched NN: XLA batches the jnp tiles directly
+        use_spatial=False,  # scalar-prefetch sparse kernel is not vmappable
         divergence_guard=divergence_guard,
     )
     return jax.vmap(fn)(befores, afters)

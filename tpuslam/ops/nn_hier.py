@@ -1,0 +1,372 @@
+"""Hierarchical exact NN: MXU center-distance bounds, cached candidate
+tables with displacement certificates, and a candidate rescore kernel.
+
+TPU-native acceleration of the ICP correspondence search (the reference's
+``FindCorrespondences``, ``cudacommon.cu:57-77``) that replaces the dense
+O(N M) scan with a provably-exact scheme:
+
+1. **Bound pass (MXU, on table rebuilds only).** Targets are
+   Morton-sorted once; each run of ``g`` consecutive sorted rows forms a
+   spatially compact tile with a bounding sphere (center ``c_j``, radius
+   ``r_j``).  A skinny-K bf16 matmul computes every source's squared
+   distance to every tile center with a *rigorous* error bound: operands
+   are split hi/lo in bf16 (``x = hi + lo``, all products exactly
+   representable in f32), so the dropped terms are O(2^-16) relative to
+   ``|s||c|`` — orders of magnitude below the tile radii the bounds
+   already carry.  Per-source upper bound ``ub(s) = min_j (|s-c_j| +
+   r_j)``, optionally tightened by the warm bound ``sqrt(d_prev) + |Δs|``
+   (the previous iteration's exact NN target is still there).  Crucially
+   ``ub`` carries **no source-tile radius**, so per-source admissibility
+   stays tight even though sources are processed in groups.
+
+2. **Cached table + certificate (every other iteration).** The rebuilt
+   table admits every tile within ``ub + slack``, and stores, per source
+   group, the smallest lower bound among *excluded* tiles and the build
+   positions.  On following iterations the rescore runs directly against
+   the cached table; the result is accepted iff every source's found
+   distance is strictly below ``(excl - |Δs since build|)^2`` — a proof
+   that no excluded tile could contain a closer (or equal-distance,
+   lower-index) target.  As ICP converges the per-iteration motion
+   decays, so one rebuild serves many iterations and the steady-state
+   cost is the rescore alone.
+
+3. **Candidate rescore (VPU).** ``pallas_nn_cand`` — scalar-prefetch
+   indirection, 8 tiles per grid step, exact-f32 FMA distances (the
+   formulation matches the jnp oracle bitwise) and the reference's
+   first-index tie-break.  When even the slack-inflated table overflows
+   — early iterations with large motion — the dense kernel runs instead,
+   so the path is exact by construction and bounded below by the dense
+   scan's throughput.
+
+No reference counterpart: this is a TPU-first redesign, not a port.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.ops.spatial import morton_permutation, tile_bounds
+
+BIG = 3.4e38
+IMAX = 2**31 - 1
+DEFAULT_G = 256  # target rows per bound tile
+DEFAULT_GSRC = 256  # source rows per rescore group
+DEFAULT_L = 160  # candidate-tile budget (slots, multiple of 8)
+DEFAULT_SLACK = 0.35  # sqrt-space ub inflation buying table reuse
+# hi/lo-split matmul error: dropped terms are <= ~4*2^-16*(|s||c|+|c|^2)
+# plus f32 accumulation; 8e-5 over-covers the 6.1e-5 worst case
+_EPS_REL = 8e-5
+
+
+class HierTarget(NamedTuple):
+    """Per-registration precomputed target state (sort + bounds + MXU
+    operand).  Build once; rigid motion of the *source* never invalidates
+    it."""
+
+    packed: jnp.ndarray  # f32[M, 4] — sorted (x, y, z, original index)
+    original_points: jnp.ndarray  # f32[M, 3] — pre-sort order (dense path)
+    count: jnp.ndarray  # i32[]
+    radii: jnp.ndarray  # f32[C] — bound-tile bounding spheres (inflated)
+    caug: jnp.ndarray  # bf16[12, C] — hi/lo split matmul operand
+    center_ref: jnp.ndarray  # f32[3] — centering offset for the split
+    cmax: jnp.ndarray  # f32[] — max |center - center_ref| over valid tiles
+
+
+class HierState(NamedTuple):
+    """Cross-query carry for the cached-table scheme (thread through an
+    ICP loop as part of the loop state)."""
+
+    table: jnp.ndarray  # i32[Ts, L] — candidate tile ids, -1 = dead
+    excl: jnp.ndarray  # f32[Ts] — min excluded-tile lb at build (sqrt)
+    build_pos: jnp.ndarray  # f32[N, 3] — source positions at build
+    table_valid: jnp.ndarray  # bool[]
+    prev_dist: jnp.ndarray  # f32[N] — exact NN d^2 from previous query
+    prev_pos: jnp.ndarray  # f32[N, 3]
+    warm: jnp.ndarray  # bool[] — prev_dist/prev_pos are valid
+
+
+def table_width(m: int, g: int = DEFAULT_G,
+                l_budget: int = DEFAULT_L) -> int:
+    """Static candidate-table width: the budget, clamped to the tile
+    count and rounded up to the kernel's slots-per-step granule."""
+    c = max(m // g, 1)
+    return -(-min(l_budget, c) // 8) * 8
+
+
+def hier_state_init(
+    n: int, m: int, g: int = DEFAULT_G, gsrc: int = DEFAULT_GSRC,
+    l_budget: int = DEFAULT_L,
+) -> HierState:
+    ts = max(n // gsrc, 1) if n else 0
+    return HierState(
+        table=jnp.full((ts, table_width(m, g, l_budget)), -1, jnp.int32),
+        excl=jnp.zeros((ts,), jnp.float32),
+        build_pos=jnp.zeros((n, 3), jnp.float32),
+        table_valid=jnp.asarray(False),
+        prev_dist=jnp.zeros((n,), jnp.float32),
+        prev_pos=jnp.zeros((n, 3), jnp.float32),
+        warm=jnp.asarray(False),
+    )
+
+
+def _split_hi_lo(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnames=("g",))
+def prepare_hier_target(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    count: jnp.ndarray,
+    g: int = DEFAULT_G,
+) -> HierTarget:
+    m = points.shape[0]
+    assert m % g == 0, "padded target length must divide the tile size"
+    perm = morton_permutation(points, mask)
+    sorted_points = points[perm]
+    sorted_mask = mask[perm]
+    bounds = tile_bounds(sorted_points, sorted_mask, g)
+    # conservative inflation: bbox/radius arithmetic is f32
+    radii = bounds.radii * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
+
+    valid_tile = bounds.centers[:, 0] < jnp.float32(1e14)
+    lo = jnp.min(
+        jnp.where(valid_tile[:, None], bounds.centers, BIG), axis=0
+    )
+    hi = jnp.max(
+        jnp.where(valid_tile[:, None], bounds.centers, -BIG), axis=0
+    )
+    center_ref = jnp.where(jnp.any(valid_tile), (lo + hi) * 0.5, 0.0)
+
+    c_rel = bounds.centers - center_ref  # sentinel tiles stay ~1e15
+    c2 = jnp.sum(c_rel * c_rel, axis=-1)
+    c_hi, c_lo = _split_hi_lo(c_rel)
+    c2_hi, c2_lo = _split_hi_lo(c2)
+    zeros = jnp.zeros_like(c2_hi)
+    caug = jnp.concatenate(
+        [
+            c_hi.T, c_lo.T, c_hi.T,  # vs -2s_hi, -2s_hi, -2s_lo
+            c2_hi[None, :], c2_lo[None, :],  # vs 1, 1
+            zeros[None, :],  # pad to K=12
+        ],
+        axis=0,
+    )
+    cmax = jnp.sqrt(jnp.max(jnp.where(valid_tile, c2, 0.0)))
+    # invalid rows (sorted past `count`) carry far-sentinel coordinates
+    # and a BIG tie-break index, so the rescore kernel needs NO validity
+    # logic at all: they can never win a (distance, index) lex-min
+    row_invalid = (
+        jnp.arange(m, dtype=jnp.int32)
+        >= jnp.asarray(count, jnp.int32)
+    )
+    packed = jnp.concatenate(
+        [
+            jnp.where(
+                row_invalid[:, None], jnp.float32(1e19), sorted_points
+            ),
+            jnp.where(
+                row_invalid, jnp.float32(BIG), perm.astype(jnp.float32)
+            )[:, None],
+        ],
+        axis=1,
+    )
+    return HierTarget(
+        packed=packed,
+        original_points=points,
+        count=count,
+        radii=radii,
+        caug=caug,
+        center_ref=center_ref,
+        cmax=cmax,
+    )
+
+
+def _center_dc2(
+    transformed: jnp.ndarray, target: HierTarget
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(dc2 f32[N, C] approximate squared distance to each tile center,
+    eps f32[] rigorous bound on its absolute error).  Downstream bounds:
+    Euclidean lower bound to tile j is ``sqrt(max(dc2-eps,0)) - r_j`` and
+    the upper bound through tile j is ``sqrt(dc2+eps) + r_j``."""
+    s_rel = transformed - target.center_ref
+    s2 = jnp.sum(s_rel * s_rel, axis=-1)  # f32, exact enough (eps covers)
+    s_hi, s_lo = _split_hi_lo(s_rel)
+    # scaling by -2 is exact in bf16 (power of two)
+    neg2_hi = (-2.0 * s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    neg2_lo = (-2.0 * s_lo.astype(jnp.float32)).astype(jnp.bfloat16)
+    ones = jnp.ones_like(s2, jnp.bfloat16)[:, None]
+    saug = jnp.concatenate(
+        [
+            neg2_hi, neg2_hi, neg2_lo,  # vs c_hi, c_lo, c_hi
+            ones, ones,  # vs c2_hi, c2_lo
+            jnp.zeros_like(ones),  # pad to K=12
+        ],
+        axis=1,
+    )
+    dc2 = s2[:, None] + jnp.dot(
+        saug, target.caug, preferred_element_type=jnp.float32
+    )  # [N, C]
+    smax = jnp.sqrt(jnp.max(s2))
+    cmax = target.cmax
+    eps = (
+        jnp.float32(_EPS_REL)
+        * (smax * cmax + cmax * cmax + smax * smax)
+        + jnp.float32(1e-6)
+    )
+    return dc2, eps
+
+
+@partial(
+    jax.jit,
+    static_argnames=("l_budget", "g", "gsrc", "slack", "interpret"),
+)
+def nearest_neighbors_hier(
+    transformed: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    target: HierTarget,
+    state: HierState,
+    l_budget: int = DEFAULT_L,
+    g: int = DEFAULT_G,
+    gsrc: int = DEFAULT_GSRC,
+    slack: float = DEFAULT_SLACK,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, HierState]:
+    """(original-target index i32[N], squared distance f32[N], updated
+    state) for each sorted source row — bit-identical to the dense
+    oracle.  ``state`` from ``hier_state_init`` on the first call, then
+    threaded through (positions must be of the same sorted source cloud,
+    moving rigidly between calls)."""
+    from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
+    from tpuslam.kernels.pallas_nn_cand import nearest_neighbors_cand
+
+    n = transformed.shape[0]
+    m = target.packed.shape[0]
+    c = m // g
+    ts = n // gsrc
+    assert n % gsrc == 0
+    width = table_width(m, g, l_budget)
+    l_eff = min(l_budget, c)  # overflow threshold (true budget)
+    assert state.table.shape == (ts, width)
+
+    def rescore(table):
+        return nearest_neighbors_cand(
+            transformed, target.packed, table,
+            g=g, gsrc=gsrc, interpret=interpret,
+        )
+
+    def dense(_):
+        return nearest_neighbors_pallas(
+            transformed, target.original_points, target.count,
+            interpret=interpret,
+        )
+
+    def rebuild(_):
+        """Bound pass + table build + rescore (or dense on overflow)."""
+        dc2, eps = _center_dc2(transformed, target)
+        radii = target.radii
+        ub = jnp.min(
+            jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii[None, :],
+            axis=1,
+        )
+        delta_prev = jnp.linalg.norm(
+            transformed - state.prev_pos, axis=-1
+        )
+        ub_warm = (
+            jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
+            + delta_prev
+            + jnp.float32(1e-6)
+        )
+        ub = jnp.where(state.warm, jnp.minimum(ub, ub_warm), ub)
+        ub = ub * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
+        ub = ub + jnp.float32(slack)  # buys table reuse across queries
+
+        # admissible <=> sqrt(max(dc2-eps,0)) - r_j <= ub, rearranged to
+        # one fused compare on dc2 (no lb materialization, no sqrt pass)
+        thresh = (ub[:, None] + radii[None, :]) ** 2 + eps
+        adm = jnp.logical_and(dc2 <= thresh, (src_mask > 0)[:, None])
+        adm_tile = jnp.any(adm.reshape(ts, gsrc, c), axis=1)  # [Ts, C]
+        counts = jnp.sum(adm_tile, axis=1)
+        overflow = jnp.any(counts > l_eff)
+
+        # admissible tile ids per source group, ascending (key == tile
+        # id when admissible, C when not — a single sort compacts them)
+        key = jnp.where(
+            adm_tile,
+            jnp.arange(c, dtype=jnp.int32)[None, :],
+            jnp.int32(c),
+        )
+        cand = jnp.sort(key, axis=1)[:, :min(width, c)]
+        cand = jnp.where(cand < c, cand, jnp.int32(-1))
+        if width > min(width, c):
+            cand = jnp.pad(
+                cand, ((0, 0), (0, width - c)), constant_values=-1
+            )
+
+        # certificate data: smallest lower bound among EXCLUDED tiles
+        # per group, at build positions (sqrt space, deflated)
+        dc2_gmin = jnp.min(dc2.reshape(ts, gsrc, c), axis=1)
+        lb_g = jnp.maximum(
+            jnp.sqrt(jnp.maximum(dc2_gmin - eps, 0.0))
+            - radii[None, :],
+            0.0,
+        )
+        excl = jnp.min(
+            jnp.where(adm_tile, jnp.float32(BIG), lb_g), axis=1
+        )
+        excl = jnp.maximum(
+            excl * jnp.float32(1.0 - 1e-5) - jnp.float32(1e-6), 0.0
+        )
+
+        idx, dist = jax.lax.cond(
+            overflow, dense, lambda __: rescore(cand), None
+        )
+        new_state = HierState(
+            table=cand,
+            excl=excl,
+            build_pos=transformed,
+            table_valid=jnp.logical_not(overflow),
+            prev_dist=dist,
+            prev_pos=transformed,
+            warm=jnp.asarray(True),
+        )
+        return idx, dist, new_state
+
+    def use_table(_):
+        """Rescore against the cached table (certificate held)."""
+        idx, dist = rescore(state.table)
+        return idx, dist, HierState(
+            table=state.table,
+            excl=state.excl,
+            build_pos=state.build_pos,
+            table_valid=state.table_valid,
+            prev_dist=dist,
+            prev_pos=transformed,
+            warm=jnp.asarray(True),
+        )
+
+    # PREDICTIVE certificate — decided before any kernel runs, so a
+    # stale table never costs a wasted rescore.  The warm bound is a
+    # proven upper bound on the distance the rescore would find, so
+    # ``ub_warm < excl - |Δs since build|`` (strict) proves no excluded
+    # tile can hold a closer or equal-distance target.
+    delta_build = jnp.linalg.norm(transformed - state.build_pos, axis=-1)
+    delta_prev = jnp.linalg.norm(transformed - state.prev_pos, axis=-1)
+    ub_warm_cert = (
+        jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
+        + delta_prev
+        + jnp.float32(1e-6)
+    )
+    margin = jnp.repeat(state.excl, gsrc) - delta_build
+    cert = jnp.all(
+        jnp.where(src_mask > 0, ub_warm_cert < margin, True)
+    )
+    usable = jnp.logical_and(
+        state.table_valid, jnp.logical_and(state.warm, cert)
+    )
+    return jax.lax.cond(usable, use_table, rebuild, None)

@@ -20,6 +20,7 @@ from tpuslam.ops.spatial import (
     TileBounds,
     morton_permutation,
     select_candidates,
+    select_candidates_warm,
     tile_bounds,
 )
 
@@ -78,10 +79,19 @@ def nearest_neighbors_spatial(
     bm: int | None = None,
     max_candidates: int = DEFAULT_L,
     interpret: bool | None = None,
+    warm: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(original-target index i32[N], squared distance f32[N]) per sorted
     source row.  Falls back to the dense kernel when any source tile's
     admissible candidate set exceeds ``max_candidates`` (exactness first).
+
+    ``warm``: optional ``(prev_dist f32[N], delta f32[N])`` — each
+    source's exact NN squared distance from the previous query and the
+    Euclidean displacement of the source since then.  Enables the
+    warm-start admissibility test (``select_candidates_warm``), which is
+    dramatically tighter than the geometric bound once the motion per
+    iteration shrinks; early large-motion iterations overflow the
+    candidate budget and transparently take the dense kernel instead.
     """
     from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
     from tpuslam.kernels.pallas_nn_sparse import nearest_neighbors_sparse
@@ -97,9 +107,24 @@ def nearest_neighbors_spatial(
         target.sorted_points.shape[0] // bm
     ), "prepare_target bm must match nearest_neighbors_spatial bm"
     src_bounds = tile_bounds(src_sorted, src_mask_sorted, bn)
-    candidates, overflowed = select_candidates(
-        src_bounds, target.bounds, max_candidates
-    )
+    if warm is None:
+        candidates, overflowed = select_candidates(
+            src_bounds, target.bounds, max_candidates
+        )
+    else:
+        prev_dist, delta = warm
+        # proven per-source bound on the NEW NN squared distance: the
+        # previous iteration's exact NN target is still there, and this
+        # source moved by exactly |delta|, so
+        # d_new <= (sqrt(d_prev) + delta)^2.  Inflated for f32 safety;
+        # invalid sources are excluded from the tile max.
+        ub_point = (jnp.sqrt(prev_dist) + delta) ** 2
+        ub_point = ub_point * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
+        ub_point = jnp.where(src_mask_sorted > 0, ub_point, 0.0)
+        ub_tile = jnp.max(ub_point.reshape(-1, bn), axis=1)
+        candidates, overflowed = select_candidates_warm(
+            src_bounds, target.bounds, ub_tile, max_candidates
+        )
 
     def sparse_path(_):
         return nearest_neighbors_sparse(

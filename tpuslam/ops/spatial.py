@@ -99,6 +99,42 @@ def tile_bounds(
     return TileBounds(centers=center, radii=radius)
 
 
+def _tile_pair_lb(
+    src_bounds: TileBounds, tgt_bounds: TileBounds
+) -> jnp.ndarray:
+    """f32[T_s, T_t] lower bound on the squared distance between any
+    point of source tile i and any point of target tile j (bounding
+    spheres), deflated by an f32-safety factor so rounding can never make
+    the bound optimistic."""
+    dc = jnp.linalg.norm(
+        src_bounds.centers[:, None, :] - tgt_bounds.centers[None, :, :],
+        axis=-1,
+    )  # [T_s, T_t]
+    rsum = src_bounds.radii[:, None] + tgt_bounds.radii[None, :]
+    lb = jnp.maximum(dc - rsum, 0.0) ** 2
+    return lb * jnp.float32(1.0 - 1e-5)
+
+
+def _compact_admissible(
+    lb: jnp.ndarray,
+    admissible: jnp.ndarray,
+    src_valid: jnp.ndarray,
+    max_candidates: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared tail of candidate selection: per-row top-``max_candidates``
+    admissible tiles ordered by ``lb`` (padded with -1), plus the
+    all-rows overflow flag (invalid source rows never count)."""
+    counts = jnp.where(src_valid, jnp.sum(admissible, axis=1), 0)
+    overflowed = jnp.any(counts > max_candidates)
+    order_key = jnp.where(admissible, lb, jnp.float32(3.4e38))
+    idx_sorted = jnp.argsort(order_key, axis=1)[:, :max_candidates]
+    take_valid = (
+        jnp.sort(order_key, axis=1)[:, :max_candidates] < 3.4e38
+    )
+    candidates = jnp.where(take_valid, idx_sorted, -1).astype(jnp.int32)
+    return candidates, overflowed
+
+
 def select_candidates(
     src_bounds: TileBounds,
     tgt_bounds: TileBounds,
@@ -110,12 +146,12 @@ def select_candidates(
     Returns (candidates i32[T_s, L], overflowed bool[] — True if any tile
     had more admissible candidates than L, in which case the caller must
     fall back to the dense scan to stay exact)."""
+    lb = _tile_pair_lb(src_bounds, tgt_bounds)
     dc = jnp.linalg.norm(
         src_bounds.centers[:, None, :] - tgt_bounds.centers[None, :, :],
         axis=-1,
-    )  # [T_s, T_t]
+    )
     rsum = src_bounds.radii[:, None] + tgt_bounds.radii[None, :]
-    lb = jnp.maximum(dc - rsum, 0.0) ** 2
     ub = (dc + rsum) ** 2
     ub_best = jnp.min(ub, axis=1, keepdims=True)  # [T_s, 1]
     admissible = lb <= ub_best
@@ -124,16 +160,25 @@ def select_candidates(
     # every tile "admissible".  Their outputs are masked anyway, so they
     # must not trip the overflow fallback to the dense scan.
     src_valid = src_bounds.centers[:, 0] < jnp.float32(1e14)
-    counts = jnp.where(src_valid, jnp.sum(admissible, axis=1), 0)
-    overflowed = jnp.any(counts > max_candidates)
+    return _compact_admissible(lb, admissible, src_valid, max_candidates)
 
-    # take the L admissible tiles with smallest lb (ties by tile index)
-    order_key = jnp.where(admissible, lb, jnp.float32(3.4e38))
-    t_t = lb.shape[1]
-    idx_sorted = jnp.argsort(order_key, axis=1)[:, :max_candidates]
-    take_valid = (
-        jnp.sort(order_key, axis=1)[:, :max_candidates] < 3.4e38
-    )
-    candidates = jnp.where(take_valid, idx_sorted, -1).astype(jnp.int32)
-    del t_t
-    return candidates, overflowed
+
+def select_candidates_warm(
+    src_bounds: TileBounds,
+    tgt_bounds: TileBounds,
+    ub_tile: jnp.ndarray,
+    max_candidates: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warm-started candidate selection: ``ub_tile`` f32[T_s] is a proven
+    upper bound on the worst NN squared distance of any valid source in
+    each tile (e.g. from the previous ICP iteration's exact NN distances
+    inflated by the per-point displacement).  Admits every target tile
+    whose bounding-sphere lower bound can beat it — a far tighter test
+    than the geometric ``(dc + rsum)^2`` upper bound when the transform
+    step is small.  Exact: the true NN tile of every source satisfies
+    ``lb <= d_true <= ub_tile``.  No reference counterpart (the CUDA
+    kernel is a dense serial scan, ``cudacommon.cu:57-77``)."""
+    lb = _tile_pair_lb(src_bounds, tgt_bounds)
+    admissible = lb <= ub_tile[:, None]
+    src_valid = src_bounds.centers[:, 0] < jnp.float32(1e14)
+    return _compact_admissible(lb, admissible, src_valid, max_candidates)

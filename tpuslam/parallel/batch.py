@@ -51,6 +51,7 @@ def _build(mesh: Mesh, divergence_guard: bool):
                 eps=eps, max_distance_squared=max_d2,
                 max_iterations=max_iterations,
                 use_pallas=False,  # vmapped jnp tiles batch cleanly
+                use_spatial=False,  # sparse kernel is not vmappable
                 divergence_guard=divergence_guard,
             )
             return (
