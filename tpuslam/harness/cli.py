@@ -57,8 +57,13 @@ def run_config(argv: List[str]) -> int:
 
     if config.show_visualisation:
         from tpuslam.viz.view import show_registration
+        from tpuslam.viz.webgl import export_html
 
         transformed = transform_cloud(before, rotation, translation)
+        # interactive artifact (the reference opens a GLFW window,
+        # mainwrapper.cpp:39-51; on a headless TPU host the equivalent
+        # is a self-contained WebGL HTML) + static PNG fallback
+        export_html(before, after, transformed)
         show_registration(before, after, transformed)
     return 0
 
