@@ -57,7 +57,9 @@ def icp_register_batch(
         eps=eps,
         max_distance_squared=max_distance_squared,
         max_iterations=max_iterations,
-        use_pallas=False,  # batched NN: XLA batches the jnp tiles directly
+        # None = auto: on TPU the custom-vmap rule lowers the NN to one
+        # 3-D-grid batched Pallas kernel; on CPU XLA batches jnp tiles
+        use_pallas=None,
         use_spatial=False,  # scalar-prefetch sparse kernel is not vmappable
         divergence_guard=divergence_guard,
     )
@@ -82,7 +84,7 @@ def nicp_register_batch(
         approximation_type=approximation_type,
         subcloud_size=subcloud_size,
         seed=seed,
-        use_pallas=False,  # batched NN: XLA batches the jnp tiles directly
+        use_pallas=None,  # auto: batched Pallas NN on TPU (custom vmap)
     )
     return jax.vmap(fn)(befores, afters)
 
@@ -109,6 +111,6 @@ def cpd_register_batch(
         max_iterations=max_iterations,
         tolerance=tolerance,
         approximation_type=approximation_type,
-        use_pallas=False,  # batched E-step: XLA batches the jnp tiles
+        use_pallas=None,  # auto: batched Pallas E-step on TPU
     )
     return jax.vmap(fn)(befores, afters)

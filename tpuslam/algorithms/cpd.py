@@ -174,17 +174,49 @@ def cpd_estep(
     return Sufficient(p1=p1, pt1=pt1_tiles.reshape(n), px=px, error=err)
 
 
+@jax.custom_batching.custom_vmap
+def _cpd_estep_pallas_auto(
+    transformed, moving_mask, target, target_mask, sigma2, constant,
+    trunc_active,
+) -> Sufficient:
+    """Pallas E-step with a custom vmap rule: a ``jax.vmap`` over pairs
+    (batched registration) lowers to the 3-D-grid batched kernels
+    instead of failing to batch the pallas_call."""
+    from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
+
+    return cpd_estep_pallas(
+        transformed, moving_mask, target, target_mask, sigma2, constant,
+        trunc_active, interpret=jax.default_backend() != "tpu",
+    )
+
+
+@_cpd_estep_pallas_auto.def_vmap
+def _cpd_estep_pallas_vmap(axis_size, in_batched, *args):
+    from tpuslam.kernels.pallas_cpd import cpd_estep_pallas_batch
+
+    def bcast(x, batched):
+        x = jnp.asarray(x)
+        return x if batched else jnp.broadcast_to(
+            x, (axis_size,) + x.shape
+        )
+
+    args = [bcast(a, b) for a, b in zip(args, in_batched)]
+    out = cpd_estep_pallas_batch(
+        *args, interpret=jax.default_backend() != "tpu"
+    )
+    return out, Sufficient(p1=True, pt1=True, px=True, error=True)
+
+
 def cpd_estep_auto(*args, use_pallas=None) -> Sufficient:
-    """Dispatching front: Pallas two-phase kernel on TPU
-    (``tpuslam.kernels.pallas_cpd``), blocked jnp scan elsewhere."""
+    """Dispatching front: Pallas two-phase kernel on TPU (batched
+    kernels under ``jax.vmap`` via the custom-vmap rule), blocked jnp
+    scan elsewhere."""
     import jax as _jax
 
     if use_pallas is None:
         use_pallas = _jax.default_backend() == "tpu"
     if use_pallas:
-        from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
-
-        return cpd_estep_pallas(*args)
+        return _cpd_estep_pallas_auto(*args)
     return cpd_estep(*args)
 
 

@@ -191,3 +191,137 @@ def cpd_estep_pallas(
     return Sufficient(
         p1=p1[:m0], pt1=pt1[:n0], px=px[:m0], error=err
     )
+
+
+def _denom_kernel_batch(sc_ref, ty_ref, xT_ref, denom_ref):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        denom_ref[:] = jnp.full_like(denom_ref, sc_ref[b, 1])
+
+    g = _gauss(
+        ty_ref[0], xT_ref[0], sc_ref[b, 0], sc_ref[b, 2], sc_ref[b, 3]
+    )
+    denom_ref[0] += jnp.sum(g, axis=0, keepdims=True)
+
+
+def _moments_kernel_batch(sc_ref, x_ref, tyT_ref, w_ref, acc_ref):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g = _gauss(
+        x_ref[0], tyT_ref[0], sc_ref[b, 0], sc_ref[b, 2], sc_ref[b, 3]
+    )
+    w = w_ref[0]  # [BN, 4]
+    rows = [
+        jnp.sum(g * w[:, c:c + 1], axis=0, keepdims=True) for c in range(4)
+    ]
+    acc_ref[0] += jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("truncate", "interpret"))
+def cpd_estep_pallas_batch(
+    transformed: jnp.ndarray,
+    moving_mask: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    constant: jnp.ndarray,
+    trunc_active: jnp.ndarray,
+    truncate: float = 1e-3,
+    interpret: bool = False,
+) -> Sufficient:
+    """Batched E-step: leading pair axis B on every operand, per-pair
+    scalars as i/f32[B] vectors read from SMEM by batch grid index.  One
+    3-D-grid launch per phase for all B pairs (the batched multi-pair
+    regime; the reference is strictly single-pair)."""
+    b, m0 = transformed.shape[0], transformed.shape[1]
+    n0 = target.shape[1]
+    m = round_up(m0, _TILE)
+    n = round_up(n0, _TILE)
+    if m != m0:
+        transformed = jnp.pad(transformed, ((0, 0), (0, m - m0), (0, 0)))
+        moving_mask = jnp.pad(moving_mask, ((0, 0), (0, m - m0)))
+    if n != n0:
+        target = jnp.pad(target, ((0, 0), (0, n - n0), (0, 0)))
+        target_mask = jnp.pad(target_mask, ((0, 0), (0, n - n0)))
+    bm = bn = _TILE
+
+    ty = jnp.where(moving_mask[:, :, None] > 0, transformed, SENTINEL)
+    scalars = jnp.stack(
+        [
+            -0.5 / sigma2,
+            constant,
+            trunc_active.astype(jnp.float32),
+            jnp.full((b,), math.log(truncate), jnp.float32),
+        ],
+        axis=1,
+    )  # [B, 4]
+
+    denom = pl.pallas_call(
+        _denom_kernel_batch,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n // bn, m // bm),
+            in_specs=[
+                pl.BlockSpec((1, bm, 3), lambda p, i, j, *_: (p, j, 0)),
+                pl.BlockSpec((1, 3, bn), lambda p, i, j, *_: (p, 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bn), lambda p, i, j, *_: (p, 0, i)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b * n * m,
+            bytes_accessed=b * (n * 3 + m * 3 + n) * 4,
+            transcendentals=b * n * m,
+        ),
+        interpret=interpret,
+    )(scalars, ty, jnp.swapaxes(target, 1, 2)).reshape(b, n)
+
+    pt1 = (1.0 - constant[:, None] / denom) * target_mask
+    inv_denom = target_mask / denom
+    weights4 = jnp.concatenate(
+        [inv_denom[:, :, None], target * inv_denom[:, :, None]], axis=2
+    )  # [B, N, 4]
+
+    acc = pl.pallas_call(
+        _moments_kernel_batch,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, m // bm, n // bn),
+            in_specs=[
+                pl.BlockSpec((1, bn, 3), lambda p, j, i, *_: (p, i, 0)),
+                pl.BlockSpec((1, 3, bm), lambda p, j, i, *_: (p, 0, j)),
+                pl.BlockSpec((1, bn, 4), lambda p, j, i, *_: (p, i, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 4, bm), lambda p, j, i, *_: (p, 0, j)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 4, m), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * b * n * m,
+            bytes_accessed=b * (n * 7 + m * 7) * 4,
+            transcendentals=b * n * m,
+        ),
+        interpret=interpret,
+    )(scalars, target, jnp.swapaxes(ty, 1, 2), weights4)
+
+    p1 = acc[:, 0, :] * moving_mask
+    px = jnp.swapaxes(acc[:, 1:4, :], 1, 2) * moving_mask[:, :, None]
+    n_valid = jnp.sum(target_mask, axis=1)
+    err = (
+        -jnp.sum(jnp.log(denom) * target_mask, axis=1)
+        + 3.0 * n_valid * jnp.log(sigma2) / 2.0
+    )
+    return Sufficient(
+        p1=p1[:, :m0], pt1=pt1[:, :n0], px=px[:, :m0], error=err
+    )

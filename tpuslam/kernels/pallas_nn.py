@@ -160,3 +160,87 @@ def nearest_neighbors_pallas(
     dist = dist.reshape(n)
     dist = jnp.where(dist >= _SENTINEL_DIST, BIG, dist)
     return idx.reshape(n)[:n0], dist[:n0]
+
+
+def _nn_kernel_batch(srcT_ref, tgt_ref, dist_ref, idx_ref):
+    j = pl.program_id(2)
+    bm = tgt_ref.shape[1]
+    bn = srcT_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _():
+        dist_ref[:] = jnp.full_like(dist_ref, BIG)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    sT = srcT_ref[0]  # [3, BN]
+    t = tgt_ref[0]  # [BM, 3]
+    d = (t[:, 0:1] - sT[0:1, :]) ** 2
+    d += (t[:, 1:2] - sT[1:2, :]) ** 2
+    d += (t[:, 2:3] - sT[2:3, :]) ** 2
+
+    tile_min = jnp.min(d, axis=0, keepdims=True)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+    masked_rows = jnp.where(d == tile_min, rows, IMAX)
+    tile_arg = jnp.min(masked_rows, axis=0, keepdims=True) + j * bm
+
+    better = tile_min < dist_ref[0]
+    dist_ref[0] = jnp.where(better, tile_min, dist_ref[0])
+    idx_ref[0] = jnp.where(better, tile_arg, idx_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_neighbors_pallas_batch(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_count: jnp.ndarray,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched variant: ``src`` f32[B, N, 3], ``tgt`` f32[B, M, 3],
+    ``tgt_count`` i32[B] — one 3-D-grid kernel launch for all B pairs
+    (BASELINE's batched multi-pair regime; the reference has no batch
+    notion at all).  Per-pair results are identical to the unbatched
+    kernel's."""
+    b, n0 = src.shape[0], src.shape[1]
+    m0 = tgt.shape[1]
+    n = round_up(n0, _TILE)
+    m = round_up(m0, _TILE)
+    if n != n0:
+        src = jnp.pad(src, ((0, 0), (0, n - n0), (0, 0)))
+    if m != m0:
+        tgt = jnp.pad(tgt, ((0, 0), (0, m - m0), (0, 0)))
+    bn = _pick_block(n, (2048, 1024))
+    bm = _pick_block(m, (1024,))
+    row_invalid = (
+        jnp.arange(m, dtype=jnp.int32)[None, :]
+        >= jnp.asarray(tgt_count, jnp.int32)[:, None]
+    )
+    tgt = jnp.where(row_invalid[:, :, None], SENTINEL, tgt)
+
+    grid = (b, n // bn, m // bm)
+    dist, idx = pl.pallas_call(
+        _nn_kernel_batch,
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 3, bn), lambda p, i, j: (p, 0, i)),
+                pl.BlockSpec((1, bm, 3), lambda p, i, j: (p, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bn), lambda p, i, j: (p, 0, i)),
+                pl.BlockSpec((1, 1, bn), lambda p, i, j: (p, 0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=13 * b * n * m,
+            bytes_accessed=b * (n * 3 + m * 3 + 2 * n) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.swapaxes(src, 1, 2), tgt)
+    dist = dist.reshape(b, n)
+    dist = jnp.where(dist >= _SENTINEL_DIST, BIG, dist)
+    return idx.reshape(b, n)[:, :n0], dist[:, :n0]

@@ -1,35 +1,38 @@
 """Pallas TPU kernel: exact NN rescore over a candidate-tile table.
 
-Companion of ``tpuslam.ops.nn_hier``: each source tile of ``gsrc`` sorted
-sources carries a compacted list of admissible target tiles (``g`` sorted
-rows each, dead slots = -1).  The candidate table is a scalar-prefetch
-operand, so the target-tile BlockSpec index maps read it to DMA exactly
-the tiles that matter.
+Companion of ``tpuslam.ops.nn_hier``: each group of ``gsrc`` sorted
+sources carries a compacted list of admissible target tiles (``g``
+sorted rows each) plus its live-slot count.  Both are scalar-prefetch
+operands: the table drives the target-tile BlockSpec index map (only
+tiles that matter are DMA'd), the count gates per-slot compute.
 
 Design points (each measured on v5e):
 
-* **No validity logic.**  Dead slots clamp to tile 0 in the index map —
-  scanning an extra tile is a candidate *superset*, which can never
-  change an exact (distance, index) lex-min; and rows past the target
-  count carry far-sentinel coordinates and a BIG tie-break index straight
-  from ``prepare_hier_target``, so they never win.  The inner loop is
-  pure distance + fold.
+* **Count-gated slots.**  The admissible-tile count varies per source
+  group while the table width is static; computing every slot wasted
+  ~3x of the kernel at the measured steady-state occupancy (~52 live of
+  160 slots).  Dead slots repeat the last live tile id (filled at build
+  time), so their DMA dedups with the neighboring step, and a scalar
+  ``pl.when`` on the prefetched count skips their compute entirely.
+* **No validity logic in the fold.**  Rows past the target count carry
+  far-sentinel coordinates and a BIG tie-break index straight from
+  ``prepare_hier_target``, so they never win; the inner loop is pure
+  distance + fold.
 * **Packed operand.**  The target is a ``[M, 4]`` array of
-  ``(x, y, z, original_index_as_f32)``.  The HBM row-tile layout pads the
-  minor dimension to 128 lanes either way, so the 4th column rides the
-  same DMA for free — folding the tie-break index without a second
+  ``(x, y, z, original_index_as_f32)``.  The HBM row-tile layout pads
+  the minor dimension to 128 lanes either way, so the 4th column rides
+  the same DMA for free — folding the tie-break index without a second
   (equally padded, equally sized) index operand halves DMA traffic.
   Original indices are exact in f32 below 2^24 rows.
 * **Several slots per grid step** through per-slot BlockSpecs — fewer,
   fatter grid steps than one tile per step (the per-step overhead at
-  fine tile granularity dominated otherwise).  Consecutive dead slots
-  dedup their DMA (same block index), so they cost almost nothing.
+  fine tile granularity dominated otherwise).
 
 Exactness: distances use the exact-f32 per-coordinate FMA form (the
-formulation is the contract — it matches the jnp oracle bitwise), and the
-running combine is lexicographic on (distance, ORIGINAL index), which
-reproduces the reference's first-index-wins tie-break (``common.cpp:416``)
-regardless of the spatial visit order.
+formulation is the contract — it matches the jnp oracle bitwise), and
+the running combine is lexicographic on (distance, ORIGINAL index),
+which reproduces the reference's first-index-wins tie-break
+(``common.cpp:416``) regardless of the spatial visit order.
 """
 
 from __future__ import annotations
@@ -48,10 +51,11 @@ SLOTS_PER_STEP = 8
 
 
 def _make_kernel(slots: int):
-    def kernel(cand_ref, srcT_ref, *refs):
+    def kernel(counts_ref, cand_ref, srcT_ref, *refs):
         del cand_ref
         t_refs = refs[:slots]
         dist_ref, idx_ref = refs[slots:]
+        i = pl.program_id(0)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -59,25 +63,28 @@ def _make_kernel(slots: int):
             dist_ref[:] = jnp.full_like(dist_ref, BIG)
             idx_ref[:] = jnp.full_like(idx_ref, BIG)
 
+        live = counts_ref[i] - j * slots
         sT = srcT_ref[:]  # [3, GSRC] — sources on lanes
         for r in range(slots):
-            t = t_refs[r][:]  # [g, 4] — (x, y, z, orig index) sublanes
-            d = (t[:, 0:1] - sT[0:1, :]) ** 2
-            d += (t[:, 1:2] - sT[1:2, :]) ** 2
-            d += (t[:, 2:3] - sT[2:3, :]) ** 2
+            @pl.when(r < live)
+            def _(r=r):
+                t = t_refs[r][:]  # [g, 4] — (x, y, z, orig idx) sublanes
+                d = (t[:, 0:1] - sT[0:1, :]) ** 2
+                d += (t[:, 1:2] - sT[1:2, :]) ** 2
+                d += (t[:, 2:3] - sT[2:3, :]) ** 2
 
-            tile_min = jnp.min(d, axis=0, keepdims=True)  # [1, GSRC]
-            masked = jnp.where(d == tile_min, t[:, 3:4], BIG)
-            tile_arg = jnp.min(masked, axis=0, keepdims=True)
+                tile_min = jnp.min(d, axis=0, keepdims=True)  # [1, GSRC]
+                masked = jnp.where(d == tile_min, t[:, 3:4], BIG)
+                tile_arg = jnp.min(masked, axis=0, keepdims=True)
 
-            better = jnp.logical_or(
-                tile_min < dist_ref[:],
-                jnp.logical_and(
-                    tile_min == dist_ref[:], tile_arg < idx_ref[:]
-                ),
-            )
-            dist_ref[:] = jnp.where(better, tile_min, dist_ref[:])
-            idx_ref[:] = jnp.where(better, tile_arg, idx_ref[:])
+                better = jnp.logical_or(
+                    tile_min < dist_ref[:],
+                    jnp.logical_and(
+                        tile_min == dist_ref[:], tile_arg < idx_ref[:]
+                    ),
+                )
+                dist_ref[:] = jnp.where(better, tile_min, dist_ref[:])
+                idx_ref[:] = jnp.where(better, tile_arg, idx_ref[:])
 
     return kernel
 
@@ -89,6 +96,7 @@ def nearest_neighbors_cand(
     src_sorted: jnp.ndarray,
     tgt_packed: jnp.ndarray,
     candidates: jnp.ndarray,
+    counts: jnp.ndarray,
     g: int = 256,
     gsrc: int = 256,
     slots: int = SLOTS_PER_STEP,
@@ -96,36 +104,37 @@ def nearest_neighbors_cand(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``tgt_packed`` f32[M, 4]: Morton-sorted target rows as
     ``(x, y, z, original_index)``, invalid rows pre-sentineled;
-    ``candidates`` i32[N//gsrc, L] of target-tile ids (compacted, -1 =
-    dead; L divisible by ``slots``).  Returns per SORTED source row
-    (original target index i32[N], squared distance f32[N]); rows with
-    no reachable valid target report the oracle's exact BIG / IMAX."""
+    ``candidates`` i32[N//gsrc, L] of target-tile ids (compacted
+    ascending, dead slots filled with the last live id; L divisible by
+    ``slots``); ``counts`` i32[N//gsrc] live slots per group.  Returns
+    per SORTED source row (original target index i32[N], squared
+    distance f32[N]); rows with no admissible candidate report the
+    oracle's exact BIG / IMAX no-match contract."""
     n, m = src_sorted.shape[0], tgt_packed.shape[0]
     assert n % gsrc == 0 and m % g == 0
     ts, l_slots = candidates.shape
     assert ts == n // gsrc and l_slots % slots == 0
+    assert counts.shape == (ts,)
     s = slots
 
-    # dead slots (-1) clamp to tile 0 in the index map: scanning a
-    # superset of the admissible tiles never changes an exact lex-min
     def t_spec(r):
         return pl.BlockSpec(
             (g, 4),
-            lambda i, j, cr, r=r: (jnp.maximum(cr[i, j * s + r], 0), 0),
+            lambda i, j, ct, cr, r=r: (cr[i, j * s + r], 0),
         )
 
     dist, idxf = pl.pallas_call(
         _make_kernel(s),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(ts, l_slots // s),
             in_specs=[
-                pl.BlockSpec((3, gsrc), lambda i, j, cr: (0, i)),
+                pl.BlockSpec((3, gsrc), lambda i, j, ct, cr: (0, i)),
                 *[t_spec(r) for r in range(s)],
             ],
             out_specs=[
-                pl.BlockSpec((1, gsrc), lambda i, j, cr: (0, i)),
-                pl.BlockSpec((1, gsrc), lambda i, j, cr: (0, i)),
+                pl.BlockSpec((1, gsrc), lambda i, j, ct, cr: (0, i)),
+                pl.BlockSpec((1, gsrc), lambda i, j, ct, cr: (0, i)),
             ],
         ),
         out_shape=[
@@ -133,7 +142,7 @@ def nearest_neighbors_cand(
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
         interpret=interpret,
-    )(candidates, src_sorted.T, *([tgt_packed] * s))
+    )(counts, candidates, src_sorted.T, *([tgt_packed] * s))
     dist = dist.reshape(n)
     idxf = idxf.reshape(n)
     # sentinel rows report astronomical distances; map the whole range

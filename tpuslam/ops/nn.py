@@ -71,17 +71,49 @@ def nearest_neighbors_ref(
     return idx.reshape(-1)[:n], dist.reshape(-1)[:n]
 
 
+@jax.custom_batching.custom_vmap
+def _nn_pallas_auto(
+    src: jnp.ndarray, tgt: jnp.ndarray, tgt_count: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas NN with a custom vmap rule: a ``jax.vmap`` over pairs
+    (batched registration) lowers to the single 3-D-grid batched kernel
+    instead of failing to batch the pallas_call.  Interpret mode is
+    selected by backend so the same call sites test on CPU."""
+    from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
+
+    return nearest_neighbors_pallas(
+        src, tgt, tgt_count, interpret=jax.default_backend() != "tpu"
+    )
+
+
+@_nn_pallas_auto.def_vmap
+def _nn_pallas_vmap(axis_size, in_batched, src, tgt, tgt_count):
+    from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas_batch
+
+    sb, tb, cb = in_batched
+    if not sb:
+        src = jnp.broadcast_to(src, (axis_size,) + src.shape)
+    if not tb:
+        tgt = jnp.broadcast_to(tgt, (axis_size,) + tgt.shape)
+    count = jnp.asarray(tgt_count, jnp.int32).reshape(-1)
+    if not cb:
+        count = jnp.broadcast_to(count, (axis_size,))
+    idx, dist = nearest_neighbors_pallas_batch(
+        src, tgt, count, interpret=jax.default_backend() != "tpu"
+    )
+    return (idx, dist), (True, True)
+
+
 def nearest_neighbors(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
     tgt_count: jnp.ndarray,
     use_pallas: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dispatching front: Pallas kernel on TPU, chunked jnp elsewhere."""
+    """Dispatching front: Pallas kernel on TPU (batched kernel under
+    ``jax.vmap`` via the custom-vmap rule), chunked jnp elsewhere."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
-
-        return nearest_neighbors_pallas(src, tgt, tgt_count)
+        return _nn_pallas_auto(src, tgt, tgt_count)
     return nearest_neighbors_ref(src, tgt, tgt_count)
