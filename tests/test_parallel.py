@@ -182,3 +182,113 @@ def test_pairs_sharded_matches_batch(rng, mesh):
     np.testing.assert_array_equal(
         np.asarray(sharded.iterations), np.asarray(local.iterations)
     )
+
+
+def test_sharded_cpd_fgt_recovers_and_matches_single(rng, mesh):
+    """Sharded FGT hybrid (per-shard clustering union, adaptive K) vs
+    the single-device FGT path: both must recover the injected
+    transform; the clusterings differ by construction, so transform
+    agreement is asserted at approximation tolerance."""
+    from tpuslam.algorithms.cpd import cpd_register
+    from tpuslam.config.configuration import ApproximationType
+    from tpuslam.parallel.cpd import cpd_register_sharded
+
+    before = (rng.random((256, 3)) * 5.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.2, trans=0.4)
+    after = (before @ r.T + t)[rng.permutation(256)].astype(np.float32)
+
+    single = cpd_register(
+        pad_cloud(before), pad_cloud(after),
+        weight=0.1, max_iterations=60, tolerance=1e-6,
+        approximation_type=ApproximationType.Hybrid, use_fgt=True,
+    )
+    sharded = cpd_register_sharded(
+        replicate_cloud(before, mesh),
+        shard_cloud(after, mesh),
+        mesh,
+        weight=0.1, max_iterations=60, tolerance=1e-6,
+        approximation_type=ApproximationType.Hybrid, use_fgt=True,
+    )
+    # both recover the injected rotation
+    np.testing.assert_allclose(
+        np.asarray(single.transform.rotation), r, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.rotation), r, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.rotation),
+        np.asarray(single.transform.rotation),
+        atol=2e-2,
+    )
+
+
+def test_sharded_estep_stats_match_tightly(rng, mesh):
+    """VERDICT r1 item 9: the sharded exact E-step's sufficient
+    statistics (p1, px, error, pt1 reductions) must match the
+    single-device E-step at <=1e-5-grade tolerance per call — not just
+    the end-to-end sigma^2 magnitude."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpuslam.algorithms.cpd import cpd_estep
+
+    n_full = 1024
+    moving = (rng.random((384, 3)) * 5.0).astype(np.float32)
+    target = (rng.random((n_full, 3)) * 5.0).astype(np.float32)
+    mask_b = jnp.ones((384,), jnp.float32)
+    sigma2 = jnp.float32(1.7)
+    constant = jnp.float32(0.9)
+
+    full = cpd_estep(
+        jnp.asarray(moving), mask_b, jnp.asarray(target),
+        jnp.ones((n_full,), jnp.float32), sigma2, constant,
+        jnp.asarray(False),
+    )
+
+    def local(tgt_shard):
+        mask_a = jnp.ones((tgt_shard.shape[0],), jnp.float32)
+        loc = cpd_estep(
+            jnp.asarray(moving), mask_b, tgt_shard, mask_a, sigma2,
+            constant, jnp.asarray(False),
+        )
+        p1 = jax.lax.psum(loc.p1, "points")
+        px = jax.lax.psum(loc.px, "points")
+        err = jax.lax.psum(loc.error, "points")
+        t_pt1_a2 = jax.lax.psum(
+            jnp.sum(loc.pt1 * jnp.sum(tgt_shard * tgt_shard, -1)),
+            "points",
+        )
+        s_pt1_a = jax.lax.psum(
+            jnp.einsum("n,nr->r", loc.pt1, tgt_shard), "points"
+        )
+        return p1, px, err, t_pt1_a2, s_pt1_a
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(P("points", None),),
+            out_specs=(P(), P(), P(), P(), P()), check_vma=False,
+        )
+    )
+    p1, px, err, t_pt1_a2, s_pt1_a = fn(jnp.asarray(target))
+
+    np.testing.assert_allclose(
+        np.asarray(p1), np.asarray(full.p1), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(px), np.asarray(full.px), rtol=1e-5, atol=1e-6
+    )
+    # error: the per-shard 3*n_local*log(s2)/2 terms psum to the global
+    # one exactly in exact arithmetic; f32 reassociation only
+    np.testing.assert_allclose(
+        float(err), float(full.error), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(t_pt1_a2),
+        float(jnp.sum(full.pt1 * jnp.sum(jnp.asarray(target) ** 2, -1))),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pt1_a),
+        np.asarray(jnp.einsum("n,nr->r", full.pt1, jnp.asarray(target))),
+        rtol=1e-5, atol=1e-5,
+    )

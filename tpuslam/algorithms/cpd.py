@@ -232,6 +232,7 @@ def cpd_estep_fgt(
     fgt_k: int,
     fgt_p: int,
     ratio_of_far_field: float,
+    sigma2_init: jnp.ndarray | None = None,
 ) -> Sufficient:
     """FGT-approximated E-step (``ComputePMatrixWithFGT``,
     ``cpdutils.cpp:19-73``): five Gauss transforms — Kt1 for the
@@ -239,10 +240,11 @@ def cpd_estep_fgt(
     weights — batched into one clustering + one 4-weight expansion (the
     clustering is weight-independent; see ``tpuslam.ops.fgt``).
 
-    ``fgt_k`` is static; the reference resizes it per iteration
-    (``min(N, M, 50 + sigma0^2/sigma^2)``, ``cpdutils.cpp:35``) which XLA
-    cannot, so callers pass a cap at least that large (documented
-    divergence; more centers only tighten the approximation).
+    ``fgt_k`` is the static center-count cap; when ``sigma2_init`` is
+    given, the live count follows the reference's per-iteration resize
+    ``K = min(N, M, 50 + sigma0^2/sigma^2)`` (``cpdutils.cpp:35``) via
+    runtime masking in ``k_center`` (clusters past the live count get no
+    assignments and zero expansion weight).
     """
     from tpuslam.ops.fgt import (
         FGTModel,
@@ -251,9 +253,18 @@ def cpd_estep_fgt(
         fgt_predict_multi,
     )
 
+    if sigma2_init is not None:
+        k_rt = jnp.minimum(
+            jnp.minimum(m, n),
+            50.0 + sigma2_init / jnp.maximum(sigma2, 1e-20),
+        ).astype(jnp.int32)
+        k_rt = jnp.clip(k_rt, 1, fgt_k)
+    else:
+        k_rt = None
     hsigma = jnp.sqrt(2.0 * sigma2)
     model_y = compute_fgt_model_multi(
-        transformed, moving_mask[:, None], moving_mask, hsigma, fgt_k, fgt_p
+        transformed, moving_mask[:, None], moving_mask, hsigma, fgt_k,
+        fgt_p, k_rt,
     )
     kt1 = fgt_predict(
         target,
@@ -270,7 +281,7 @@ def cpd_estep_fgt(
         [inv_denom[:, None], target * inv_denom[:, None]], axis=1
     )
     model_x = compute_fgt_model_multi(
-        target, weights4, target_mask, hsigma, fgt_k, fgt_p
+        target, weights4, target_mask, hsigma, fgt_k, fgt_p, k_rt
     )
     out = fgt_predict_multi(
         transformed, model_x, hsigma, ratio_of_far_field, fgt_p
@@ -399,7 +410,9 @@ def cpd_register(
     ratio_of_far_field: float = 10.0,
     order_of_truncation: int = 8,
     use_fgt: bool = False,
-    fgt_k: int = 64,
+    # cap >= 50 + 1/0.015 so the adaptive live count (cpdutils.cpp:35)
+    # is never clipped during the Hybrid FGT phase
+    fgt_k: int = 128,
     verbose: bool = False,
     record_history: bool = False,
     history_length: int = 256,
@@ -465,6 +478,7 @@ def cpd_register(
             transformed, mask_b, target, mask_a, sigma_e, weight, m, n,
             min(fgt_k, before.padded_size, after.padded_size),
             order_of_truncation, ratio_of_far_field,
+            sigma2_init=sigma2_0,
         )
 
     def body(s: CPDState) -> CPDState:

@@ -96,13 +96,21 @@ class FGTModel(NamedTuple):
 
 
 def k_center(
-    points: jnp.ndarray, mask: jnp.ndarray, k: int
+    points: jnp.ndarray, mask: jnp.ndarray, k: int,
+    k_rt: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Farthest-point clustering (``KCenter``, ``fgt.cpp:147-207``).
 
     Returns (centers f32[k,3], assignment i32[N]).  Invalid (padded) rows
     never become centers and are assigned cluster 0 with zero weight by
-    callers."""
+    callers.
+
+    ``k_rt`` (optional, dynamic i32 <= k) emulates the reference's
+    per-iteration adaptive center count (``K = min(N, M, 50 +
+    sigma0^2/sigma^2)``, ``cpdutils.cpp:35``) under XLA's static shapes:
+    selection steps past ``k_rt`` are no-ops, so clusters ``>= k_rt``
+    receive no assignments and zero expansion weight downstream —
+    behaviorally identical to allocating only ``k_rt`` centers."""
     n = points.shape[0]
     first = points[1 % n]  # deterministic seed, fgt.cpp:160
     d0 = jnp.sum((points - first) ** 2, axis=-1)
@@ -114,6 +122,8 @@ def k_center(
         center = points[center_ind]
         d = jnp.sum((points - center) ** 2, axis=-1)
         better = d < dist_c
+        if k_rt is not None:
+            better = jnp.logical_and(better, i < k_rt)
         dist_c = jnp.where(better, d, dist_c)
         indx = jnp.where(better, i, indx)
         return dist_c, indx
@@ -170,14 +180,16 @@ def compute_fgt_model_multi(
     sigma: jnp.ndarray,
     k: int,
     p: int,
+    k_rt: jnp.ndarray | None = None,
 ) -> FGTModel:
     """Batched-weights model: ``weights`` f32[N, W] -> ``ak`` f32[K, pd, W].
 
     The reference rebuilds the whole model (including the identical
     K-center clustering) once per weight vector — five times per CPD
     E-step (``cpdutils.cpp:41-66``); clustering is weight-independent, so
-    one clustering + one batched expansion replaces all five."""
-    centers, indx = k_center(points, mask, k)
+    one clustering + one batched expansion replaces all five.
+    ``k_rt`` limits the live center count at runtime (see ``k_center``)."""
+    centers, indx = k_center(points, mask, k, k_rt)
     dy = (points - centers[indx]) / sigma
     g = jnp.exp(-jnp.sum(dy * dy, axis=-1)) * mask
     prods = _monomials(dy, p)  # [N, pd]

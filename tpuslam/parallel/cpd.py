@@ -37,8 +37,21 @@ from tpuslam.parallel.mesh import POINTS_AXIS
 
 @lru_cache(maxsize=16)
 def _build(mesh: Mesh, const_scale: bool,
-           approximation_type: ApproximationType):
+           approximation_type: ApproximationType,
+           use_fgt: bool = False, fgt_k: int = 128, fgt_p: int = 8,
+           ratio_of_far_field: float = 10.0):
     axis = POINTS_AXIS
+    n_dev = mesh.shape[POINTS_AXIS]
+    # union of per-shard clusterings: each shard expands its points
+    # about its own centers, so the gathered union is a valid global
+    # clustering.  Shards are index-contiguous — every shard spans the
+    # FULL spatial extent — so Taylor accuracy requires the full center
+    # count PER SHARD (cluster radius is centers-per-volume, not
+    # points-per-center; k/n_dev centers per shard was measured to
+    # collapse the approximation at small sigma^2).  The gathered model
+    # is n_dev x larger; a Morton pre-sorted sharding would cut this to
+    # k total (future optimization, documented trade).
+    k_local = fgt_k
 
     def loop(moving, mask_b, tgt_shard, tgt_count,
              weight, eps, tolerance, max_iterations):
@@ -83,6 +96,77 @@ def _build(mesh: Mesh, const_scale: bool,
             )
             return p1, px, err, t_pt1_a2, s_pt1_a
 
+        def estep_fgt_psum(transformed, sigma_e, sigma2_0):
+            """Sharded FGT E-step (``cpdutils.cpp:19-73`` decomposition):
+            the moving-cloud model is replicated (moving is), the target
+            model is a per-shard clustering whose (centers, ak) are
+            all-gathered — one collective round per E-step instead of a
+            psum per K-center selection step."""
+            from tpuslam.algorithms.cpd import uniform_constant as uc
+            from tpuslam.ops.fgt import (
+                FGTModel,
+                compute_fgt_model_multi,
+                fgt_predict,
+                fgt_predict_multi,
+            )
+
+            # adaptive live center count (cpdutils.cpp:35); each shard
+            # spans the full extent, so it uses the full live count
+            k_rt = jnp.minimum(
+                jnp.minimum(m, n),
+                50.0 + sigma2_0 / jnp.maximum(sigma_e, 1e-20),
+            ).astype(jnp.int32)
+            k_rt = jnp.clip(k_rt, 1, fgt_k)
+            k_rt_local = k_rt
+
+            hsigma = jnp.sqrt(2.0 * sigma_e)
+            model_y = compute_fgt_model_multi(
+                transformed, mask_b[:, None], mask_b, hsigma, fgt_k,
+                fgt_p, k_rt,
+            )
+            kt1 = fgt_predict(
+                tgt_shard,
+                FGTModel(centers=model_y.centers, ak=model_y.ak[..., 0]),
+                hsigma, ratio_of_far_field, fgt_p,
+            )
+            ndi = uc(sigma_e, weight, m, n)
+            denom = jnp.maximum(kt1, 0.0) + ndi
+            inv_denom = mask_a / denom
+            pt1 = (1.0 - ndi / denom) * mask_a
+
+            weights4 = jnp.concatenate(
+                [inv_denom[:, None], tgt_shard * inv_denom[:, None]],
+                axis=1,
+            )
+            model_x = compute_fgt_model_multi(
+                tgt_shard, weights4, mask_a, hsigma, k_local, fgt_p,
+                k_rt_local,
+            )
+            centers_g = jax.lax.all_gather(
+                model_x.centers, axis, tiled=True
+            )
+            ak_g = jax.lax.all_gather(model_x.ak, axis, tiled=True)
+            out = fgt_predict_multi(
+                transformed, FGTModel(centers=centers_g, ak=ak_g),
+                hsigma, ratio_of_far_field, fgt_p,
+            )
+            p1 = out[:, 0] * mask_b
+            px = out[:, 1:4] * mask_b[:, None]
+
+            n_local = jnp.sum(mask_a)
+            err = jax.lax.psum(
+                -jnp.sum(jnp.log(denom) * mask_a)
+                + 3.0 * n_local * jnp.log(sigma_e) / 2.0,
+                axis,
+            )
+            t_pt1_a2 = jax.lax.psum(
+                jnp.sum(pt1 * jnp.sum(tgt_shard * tgt_shard, -1)), axis
+            )
+            s_pt1_a = jax.lax.psum(
+                jnp.einsum("n,nr->r", pt1, tgt_shard), axis
+            )
+            return p1, px, err, t_pt1_a2, s_pt1_a
+
         def cond(s: CPDState):
             return jnp.logical_and(
                 s.iterations < max_iterations,
@@ -93,25 +177,46 @@ def _build(mesh: Mesh, const_scale: bool,
             transformed = s.scale * (moving @ s.rotation.T) + s.translation
 
             if approximation_type == ApproximationType.NONE:
-                sigma_e, c_used = s.sigma2, c_init
-                trunc = jnp.asarray(False)
+                p1, px, err, t_pt1_a2, s_pt1_a = estep_psum(
+                    transformed, s.sigma2, c_init, jnp.asarray(False)
+                )
             elif approximation_type == ApproximationType.Full:
                 sigma_e = jnp.maximum(s.sigma2, 0.05)
-                c_used = uniform_constant(sigma_e, weight, m, n)
-                trunc = jnp.asarray(False)
+                if use_fgt:
+                    p1, px, err, t_pt1_a2, s_pt1_a = estep_fgt_psum(
+                        transformed, sigma_e, sigma2_0
+                    )
+                else:
+                    p1, px, err, t_pt1_a2, s_pt1_a = estep_psum(
+                        transformed, sigma_e,
+                        uniform_constant(sigma_e, weight, m, n),
+                        jnp.asarray(False),
+                    )
             else:  # Hybrid
                 fast_now = s.sigma2 > 0.015 * sigma2_0
-                sigma_e = s.sigma2
-                c_used = jnp.where(
-                    fast_now,
-                    uniform_constant(s.sigma2, weight, m, n),
-                    c_init,
-                )
-                trunc = jnp.logical_not(fast_now)
-
-            p1, px, err, t_pt1_a2, s_pt1_a = estep_psum(
-                transformed, sigma_e, c_used, trunc
-            )
+                if use_fgt:
+                    # fast_now is replicated, so every device takes the
+                    # same branch and the collectives stay uniform
+                    p1, px, err, t_pt1_a2, s_pt1_a = jax.lax.cond(
+                        fast_now,
+                        lambda: estep_fgt_psum(
+                            transformed, s.sigma2, sigma2_0
+                        ),
+                        lambda: estep_psum(
+                            transformed, s.sigma2, c_init,
+                            jnp.asarray(True),
+                        ),
+                    )
+                else:
+                    c_used = jnp.where(
+                        fast_now,
+                        uniform_constant(s.sigma2, weight, m, n),
+                        c_init,
+                    )
+                    p1, px, err, t_pt1_a2, s_pt1_a = estep_psum(
+                        transformed, s.sigma2, c_used,
+                        jnp.logical_not(fast_now),
+                    )
             ntol = jnp.abs((err - s.log_likelihood) / err)
 
             # replicated M-step from psum'd moments
@@ -176,9 +281,22 @@ def cpd_register_sharded(
     max_iterations: int = -1,
     tolerance: float = 1e-3,
     approximation_type: ApproximationType = ApproximationType.NONE,
+    use_fgt: bool = False,
+    fgt_k: int = 128,
+    order_of_truncation: int = 8,
+    ratio_of_far_field: float = 10.0,
 ) -> RegistrationResult:
-    """``before`` (moving) replicated, ``after`` (target) sharded."""
-    fn = _build(mesh, const_scale, approximation_type)
+    """``before`` (moving) replicated, ``after`` (target) sharded.
+
+    ``use_fgt=True`` runs the Fast Gauss Transform approximation in the
+    Full/Hybrid fast phases, sharded: the target-side model is a
+    per-shard clustering all-gathered into a union model (one collective
+    round per E-step), with the reference's adaptive live-center count
+    (``cpdutils.cpp:35``) split across shards."""
+    fn = _build(
+        mesh, const_scale, approximation_type, use_fgt, fgt_k,
+        order_of_truncation, ratio_of_far_field,
+    )
     weight = float(min(max(weight, 1e-6), 1.0 - 1e-6))
     rotation, translation, scale, iterations, sigma2 = fn(
         before.points,
