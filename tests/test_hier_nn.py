@@ -1,8 +1,7 @@
-"""Hierarchical NN (MXU center bounds + cached candidate tables +
-certificate) vs the dense oracle: exact distance AND index parity is
-required — the bound construction must provably never drop a true
-nearest neighbor, across rebuilds, cached-table hits, and certificate
-failures alike."""
+"""Warm-start hierarchical NN (group-sphere bounds + candidate rescore)
+vs the dense oracle: exact distance AND index parity is required — the
+bound construction must provably never drop a true nearest neighbor,
+across cold starts, warm sparse queries, and overflow fallbacks alike."""
 
 import numpy as np
 import pytest
@@ -25,34 +24,54 @@ def _sorted_sources(src):
     return jnp.asarray(src)[perm], mask
 
 
+def _assert_oracle(idx_h, dist_h, moved, tgt, msg=""):
+    idx_ref, dist_ref = nearest_neighbors_ref(moved, tgt.points, tgt.count)
+    np.testing.assert_array_equal(
+        np.asarray(idx_h), np.asarray(idx_ref), err_msg=msg
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dist_h), np.asarray(dist_ref), err_msg=msg
+    )
+
+
 @pytest.mark.parametrize("n,m,count", [
     (1024, 2048, 2048),
     (2048, 2048, 1800),
     (1024, 4096, 4096),
 ])
 def test_hier_matches_dense(rng, n, m, count):
+    """Cold start (dense arm) and a warm sparse query both match the
+    oracle bitwise."""
+    from tests.conftest import random_rigid
+
     src = (rng.random((n, 3)) * 10.0).astype(np.float32)
     tgt_full = (rng.random((m, 3)) * 10.0).astype(np.float32)
     tgt = pad_cloud(tgt_full[:count], multiple=m)
     src_sorted, mask_s = _sorted_sources(src)
     target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count)
-    state = hier_state_init(n, m)
+    state = hier_state_init(n)
 
     idx_h, dist_h, state = nearest_neighbors_hier(
         src_sorted, mask_s, target, state, interpret=True
     )
-    idx_ref, dist_ref = nearest_neighbors_ref(
-        src_sorted, tgt.points, tgt.count
+    # cold start may take either arm (geometric bound only); exactness
+    # is the contract either way
+    _assert_oracle(idx_h, dist_h, src_sorted, tgt, "cold")
+
+    r, t = random_rigid(rng, angle=0.02, trans=0.05)
+    moved = jnp.asarray(
+        (np.asarray(src_sorted) @ r.T + t).astype(np.float32)
     )
-    np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_ref))
-    np.testing.assert_array_equal(
-        np.asarray(dist_h), np.asarray(dist_ref)
+    idx_h, dist_h, state = nearest_neighbors_hier(
+        moved, mask_s, target, state, interpret=True
     )
+    _assert_oracle(idx_h, dist_h, moved, tgt, "warm")
 
 
-def test_hier_cached_table_stays_exact(rng):
-    """Drift the sources over several small rigid steps: cached-table
-    hits (certificate ok) and rebuilds must all stay bit-identical."""
+def test_hier_warm_drift_stays_exact(rng):
+    """Drift the sources over several small rigid steps: every warm
+    query must stay bit-identical, and the sparse arm must actually
+    engage (that is the whole point of the path)."""
     from tests.conftest import random_rigid
 
     n, m = 1024, 2048
@@ -61,82 +80,51 @@ def test_hier_cached_table_stays_exact(rng):
                     multiple=m)
     src_sorted, mask_s = _sorted_sources(src)
     target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count)
-    state = hier_state_init(n, m)
+    state = hier_state_init(n)
 
     pos = np.asarray(src_sorted)
-    table_hits = 0
+    sparse_hits = 0
     for step in range(5):
         moved = jnp.asarray(pos)
         idx_h, dist_h, state = nearest_neighbors_hier(
             moved, mask_s, target, state, interpret=True
         )
-        idx_ref, dist_ref = nearest_neighbors_ref(
-            moved, tgt.points, tgt.count
-        )
-        np.testing.assert_array_equal(
-            np.asarray(idx_h), np.asarray(idx_ref), err_msg=f"step {step}"
-        )
-        np.testing.assert_array_equal(
-            np.asarray(dist_h), np.asarray(dist_ref),
-            err_msg=f"step {step}",
-        )
-        table_hits += int(np.asarray(state.table_valid))
+        _assert_oracle(idx_h, dist_h, moved, tgt, f"step {step}")
+        sparse_hits += int(np.asarray(state.sparse))
         r, t = random_rigid(rng, angle=0.01, trans=0.02)
         pos = (pos @ r.T + t).astype(np.float32)
-    assert table_hits >= 1  # the cached path must actually engage
+    assert sparse_hits >= 3  # steps 1.. should all take the sparse arm
 
 
-def test_hier_large_jump_forces_rebuild_and_stays_exact(rng):
-    """A huge displacement after a build must fail the certificate (or
-    overflow) and still return oracle-exact results."""
-    n = m = 1024
+def test_hier_large_jump_overflows_and_stays_exact(rng):
+    """A huge displacement blows up the warm bound, overflows the
+    candidate budget, and must still return oracle-exact results via
+    the dense fallback."""
+    n = m = 4096
     src = (rng.random((n, 3)) * 10.0).astype(np.float32)
     tgt = pad_cloud((rng.random((m, 3)) * 10.0).astype(np.float32),
                     multiple=m)
     src_sorted, mask_s = _sorted_sources(src)
     target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count)
-    state = hier_state_init(n, m)
+    state = hier_state_init(n)
     _, _, state = nearest_neighbors_hier(
-        src_sorted, mask_s, target, state, interpret=True
+        src_sorted, mask_s, target, state, l_budget=8, interpret=True
     )
     jumped = src_sorted + jnp.asarray([7.0, -3.0, 5.0])
     idx_h, dist_h, state = nearest_neighbors_hier(
-        jumped, mask_s, target, state, interpret=True
+        jumped, mask_s, target, state, l_budget=8, interpret=True
     )
-    idx_ref, dist_ref = nearest_neighbors_ref(
-        jumped, tgt.points, tgt.count
-    )
-    np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_ref))
-    np.testing.assert_array_equal(
-        np.asarray(dist_h), np.asarray(dist_ref)
-    )
-
-
-def test_hier_tiny_budget_overflows_to_dense(rng):
-    """A candidate budget of 8 of 16 tiles overflows on almost any
-    data; the dense arm must produce identical results."""
-    n, m = 1024, 4096
-    src = (rng.random((n, 3)) * 10.0).astype(np.float32)
-    tgt = pad_cloud((rng.random((m, 3)) * 10.0).astype(np.float32),
-                    multiple=m)
-    src_sorted, mask_s = _sorted_sources(src)
-    target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count)
-    state = hier_state_init(n, m, l_budget=8)
-    idx_h, dist_h, state = nearest_neighbors_hier(
-        src_sorted, mask_s, target, state, l_budget=8, interpret=True
-    )
-    assert not bool(np.asarray(state.table_valid))
-    idx_ref, dist_ref = nearest_neighbors_ref(
-        src_sorted, tgt.points, tgt.count
-    )
-    np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_ref))
+    assert not bool(np.asarray(state.sparse))  # overflowed to dense
+    _assert_oracle(idx_h, dist_h, jumped, tgt, "jump")
 
 
 def test_hier_near_tie_cases(rng):
-    """Adversarial near-ties: clustered duplicate-ish targets so that the
-    argmin is decided by the exact FMA formulation and the first-index
-    tie-break, not by the approximate bound pass.  Includes EXACT
-    duplicates, which exercise the original-index tie-break."""
+    """Adversarial near-ties: clustered duplicate-ish targets so that
+    the argmin is decided by the exact FMA formulation and the
+    first-index tie-break, not by the bounds.  Includes EXACT
+    duplicates, which exercise the original-index tie-break, queried
+    through the warm sparse arm with zero motion (distance exactly
+    equal to the warm bound's core)."""
     n, m = 1024, 4096
     base = (rng.random((n, 3)) * 4.0).astype(np.float32)
     tgt = np.concatenate([
@@ -150,17 +138,39 @@ def test_hier_near_tie_cases(rng):
     tgt = pad_cloud(tgt.astype(np.float32), multiple=m)
     src_sorted, mask_s = _sorted_sources(base)
     target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count)
-    state = hier_state_init(n, m)
+    state = hier_state_init(n)
     idx_h, dist_h, state = nearest_neighbors_hier(
         src_sorted, mask_s, target, state, interpret=True
     )
-    idx_ref, dist_ref = nearest_neighbors_ref(
-        src_sorted, tgt.points, tgt.count
+    _assert_oracle(idx_h, dist_h, src_sorted, tgt, "cold")
+    # zero-motion warm query: ub == d_prev exactly; ties must survive
+    idx_h, dist_h, state = nearest_neighbors_hier(
+        src_sorted, mask_s, target, state, interpret=True
     )
-    np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_ref))
-    np.testing.assert_array_equal(
-        np.asarray(dist_h), np.asarray(dist_ref)
+    assert bool(np.asarray(state.sparse))
+    _assert_oracle(idx_h, dist_h, src_sorted, tgt, "warm ties")
+
+
+def test_hier_padded_target_rows_never_win(rng):
+    """Targets padded far past `count`: sentinel rows must never be
+    reported, in either arm."""
+    n, m, count = 1024, 4096, 1100
+    src = (rng.random((n, 3)) * 10.0).astype(np.float32)
+    tgt_full = (rng.random((m, 3)) * 10.0).astype(np.float32)
+    tgt = pad_cloud(tgt_full[:count], multiple=m)
+    src_sorted, mask_s = _sorted_sources(src)
+    target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count)
+    state = hier_state_init(n)
+    idx_h, dist_h, state = nearest_neighbors_hier(
+        src_sorted, mask_s, target, state, interpret=True
     )
+    _assert_oracle(idx_h, dist_h, src_sorted, tgt, "cold")
+    idx_h, dist_h, state = nearest_neighbors_hier(
+        src_sorted, mask_s, target, state, interpret=True
+    )
+    assert bool(np.asarray(state.sparse))
+    assert int(np.asarray(idx_h).max()) < count
+    _assert_oracle(idx_h, dist_h, src_sorted, tgt, "warm")
 
 
 def test_icp_hier_matches_dense_path(rng):

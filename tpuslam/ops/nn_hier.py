@@ -1,42 +1,45 @@
-"""Hierarchical exact NN: MXU center-distance bounds, cached candidate
-tables with displacement certificates, and a candidate rescore kernel.
+"""Hierarchical exact NN: per-source MXU center-distance bounds, warm
+upper bounds from the previous iteration, and a count-gated candidate
+rescore kernel.
 
-TPU-native acceleration of the ICP correspondence search (the reference's
-``FindCorrespondences``, ``cudacommon.cu:57-77``) that replaces the dense
-O(N M) scan with a provably-exact scheme:
+TPU-native acceleration of the ICP correspondence search (the
+reference's ``FindCorrespondences``, ``cudacommon.cu:57-77``) that
+replaces the dense O(N M) scan with a provably-exact sparse scheme built
+for the *iterative* setting:
 
-1. **Bound pass (MXU, on table rebuilds only).** Targets are
-   Morton-sorted once; each run of ``g`` consecutive sorted rows forms a
-   spatially compact tile with a bounding sphere (center ``c_j``, radius
-   ``r_j``).  A skinny-K bf16 matmul computes every source's squared
-   distance to every tile center with a *rigorous* error bound: operands
-   are split hi/lo in bf16 (``x = hi + lo``, all products exactly
-   representable in f32), so the dropped terms are O(2^-16) relative to
-   ``|s||c|`` — orders of magnitude below the tile radii the bounds
-   already carry.  Per-source upper bound ``ub(s) = min_j (|s-c_j| +
-   r_j)``, optionally tightened by the warm bound ``sqrt(d_prev) + |Δs|``
-   (the previous iteration's exact NN target is still there).  Crucially
-   ``ub`` carries **no source-tile radius**, so per-source admissibility
-   stays tight even though sources are processed in groups.
+1. **Bound pass (MXU, every query).**  Targets are Morton-sorted once;
+   each run of ``g`` consecutive sorted rows forms a spatially compact
+   tile with a bounding sphere (center ``c_j``, radius ``r_j``).  A
+   skinny-K bf16 matmul computes every source's squared distance to
+   every tile center with a *rigorous* error bound: operands are split
+   hi/lo in bf16 (``x = hi + lo``, all products exactly representable in
+   f32), so the dropped terms are O(2^-16) relative to ``|s||c|`` —
+   orders of magnitude below the tile radii the bounds already carry.
+   Per-source upper bound ``ub(s) = min_j (|s - c_j| + r_j)``.
 
-2. **Cached table + certificate (every other iteration).** The rebuilt
-   table admits every tile within ``ub + slack``, and stores, per source
-   group, the smallest lower bound among *excluded* tiles and the build
-   positions.  On following iterations the rescore runs directly against
-   the cached table; the result is accepted iff every source's found
-   distance is strictly below ``(excl - |Δs since build|)^2`` — a proof
-   that no excluded tile could contain a closer (or equal-distance,
-   lower-index) target.  As ICP converges the per-iteration motion
-   decays, so one rebuild serves many iterations and the steady-state
-   cost is the rescore alone.
+   The test is strictly PER SOURCE: bounding spheres of *source* groups
+   were measured useless here — Morton runs that cross a high-bit
+   octant boundary span half the cloud, and one such group admits every
+   tile and forces the dense fallback for the whole call.
 
-3. **Candidate rescore (VPU).** ``pallas_nn_cand`` — scalar-prefetch
-   indirection, 8 tiles per grid step, exact-f32 FMA distances (the
-   formulation matches the jnp oracle bitwise) and the reference's
-   first-index tie-break.  When even the slack-inflated table overflows
-   — early iterations with large motion — the dense kernel runs instead,
-   so the path is exact by construction and bounded below by the dense
-   scan's throughput.
+2. **Warm upper bound (from iteration 2 on).**  The previous
+   iteration's exact NN target is still in the cloud and this source
+   moved by exactly ``|Δs|``, so ``ub(s) <= sqrt(d_prev) + |Δs|`` — far
+   tighter than the geometric bound once the per-iteration motion
+   decays, and the reason tile culling pays on uniform clouds where
+   static branch-and-bound was measured neutral.
+
+3. **Candidate rescore (VPU).**  ``pallas_nn_cand`` — scalar-prefetch
+   indirection over the per-group candidate lists (admissible tiles of
+   any source in the group), per-slot compute skip from a prefetched
+   count vector (dead slots repeat the last live tile id: their DMA
+   dedups, their compute is skipped), exact-f32 FMA distances matching
+   the jnp oracle bitwise, and the reference's first-index tie-break.
+
+Queries whose candidate sets overflow the static budget — early
+iterations with large motion — run the dense kernel instead, so the
+path is exact by construction and its cost is bounded by the dense
+scan's.
 
 No reference counterpart: this is a TPU-first redesign, not a port.
 """
@@ -53,10 +56,9 @@ from tpuslam.ops.spatial import morton_permutation, tile_bounds
 
 BIG = 3.4e38
 IMAX = 2**31 - 1
-DEFAULT_G = 256  # target rows per bound tile
+DEFAULT_G = 256  # target rows per candidate tile
 DEFAULT_GSRC = 256  # source rows per rescore group
 DEFAULT_L = 160  # candidate-tile budget (slots, multiple of 8)
-DEFAULT_SLACK = 0.35  # sqrt-space ub inflation buying table reuse
 # hi/lo-split matmul error: dropped terms are <= ~4*2^-16*(|s||c|+|c|^2)
 # plus f32 accumulation; 8e-5 over-covers the 6.1e-5 worst case
 _EPS_REL = 8e-5
@@ -64,8 +66,8 @@ _EPS_REL = 8e-5
 
 class HierTarget(NamedTuple):
     """Per-registration precomputed target state (sort + bounds + MXU
-    operand).  Build once; rigid motion of the *source* never invalidates
-    it."""
+    operand + packed rescore operand).  Build once; rigid motion of the
+    *source* never invalidates it."""
 
     packed: jnp.ndarray  # f32[M, 4] — sorted (x, y, z, original index)
     original_points: jnp.ndarray  # f32[M, 3] — pre-sort order (dense path)
@@ -77,16 +79,12 @@ class HierTarget(NamedTuple):
 
 
 class HierState(NamedTuple):
-    """Cross-query carry for the cached-table scheme (thread through an
-    ICP loop as part of the loop state)."""
+    """Cross-query carry (thread through the ICP loop state)."""
 
-    table: jnp.ndarray  # i32[Ts, L] — candidate tile ids, -1 = dead
-    excl: jnp.ndarray  # f32[Ts] — min excluded-tile lb at build (sqrt)
-    build_pos: jnp.ndarray  # f32[N, 3] — source positions at build
-    table_valid: jnp.ndarray  # bool[]
     prev_dist: jnp.ndarray  # f32[N] — exact NN d^2 from previous query
     prev_pos: jnp.ndarray  # f32[N, 3]
     warm: jnp.ndarray  # bool[] — prev_dist/prev_pos are valid
+    sparse: jnp.ndarray  # bool[] — last query used the sparse arm
 
 
 def table_width(m: int, g: int = DEFAULT_G,
@@ -97,19 +95,13 @@ def table_width(m: int, g: int = DEFAULT_G,
     return -(-min(l_budget, c) // 8) * 8
 
 
-def hier_state_init(
-    n: int, m: int, g: int = DEFAULT_G, gsrc: int = DEFAULT_GSRC,
-    l_budget: int = DEFAULT_L,
-) -> HierState:
-    ts = max(n // gsrc, 1) if n else 0
+def hier_state_init(n: int, m: int = 0) -> HierState:
+    del m  # kept for call-site stability; state no longer depends on it
     return HierState(
-        table=jnp.full((ts, table_width(m, g, l_budget)), -1, jnp.int32),
-        excl=jnp.zeros((ts,), jnp.float32),
-        build_pos=jnp.zeros((n, 3), jnp.float32),
-        table_valid=jnp.asarray(False),
         prev_dist=jnp.zeros((n,), jnp.float32),
         prev_pos=jnp.zeros((n, 3), jnp.float32),
         warm=jnp.asarray(False),
+        sparse=jnp.asarray(False),
     )
 
 
@@ -224,7 +216,7 @@ def _center_dc2(
 
 @partial(
     jax.jit,
-    static_argnames=("l_budget", "g", "gsrc", "slack", "interpret"),
+    static_argnames=("l_budget", "g", "gsrc", "interpret"),
 )
 def nearest_neighbors_hier(
     transformed: jnp.ndarray,
@@ -234,14 +226,13 @@ def nearest_neighbors_hier(
     l_budget: int = DEFAULT_L,
     g: int = DEFAULT_G,
     gsrc: int = DEFAULT_GSRC,
-    slack: float = DEFAULT_SLACK,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, HierState]:
     """(original-target index i32[N], squared distance f32[N], updated
     state) for each sorted source row — bit-identical to the dense
-    oracle.  ``state`` from ``hier_state_init`` on the first call, then
-    threaded through (positions must be of the same sorted source cloud,
-    moving rigidly between calls)."""
+    oracle for valid sources.  ``state`` from ``hier_state_init`` on the
+    first call, then threaded through (positions must be of the same
+    sorted source cloud, moving rigidly between calls)."""
     from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
     from tpuslam.kernels.pallas_nn_cand import nearest_neighbors_cand
 
@@ -252,121 +243,66 @@ def nearest_neighbors_hier(
     assert n % gsrc == 0
     width = table_width(m, g, l_budget)
     l_eff = min(l_budget, c)  # overflow threshold (true budget)
-    assert state.table.shape == (ts, width)
 
-    def rescore(table):
-        return nearest_neighbors_cand(
-            transformed, target.packed, table,
-            g=g, gsrc=gsrc, interpret=interpret,
-        )
-
-    def dense(_):
-        return nearest_neighbors_pallas(
-            transformed, target.original_points, target.count,
-            interpret=interpret,
-        )
-
-    def rebuild(_):
-        """Bound pass + table build + rescore (or dense on overflow)."""
-        dc2, eps = _center_dc2(transformed, target)
-        radii = target.radii
-        ub = jnp.min(
-            jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii[None, :],
-            axis=1,
-        )
-        delta_prev = jnp.linalg.norm(
-            transformed - state.prev_pos, axis=-1
-        )
-        ub_warm = (
-            jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
-            + delta_prev
-            + jnp.float32(1e-6)
-        )
-        ub = jnp.where(state.warm, jnp.minimum(ub, ub_warm), ub)
-        ub = ub * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
-        ub = ub + jnp.float32(slack)  # buys table reuse across queries
-
-        # admissible <=> sqrt(max(dc2-eps,0)) - r_j <= ub, rearranged to
-        # one fused compare on dc2 (no lb materialization, no sqrt pass)
-        thresh = (ub[:, None] + radii[None, :]) ** 2 + eps
-        adm = jnp.logical_and(dc2 <= thresh, (src_mask > 0)[:, None])
-        adm_tile = jnp.any(adm.reshape(ts, gsrc, c), axis=1)  # [Ts, C]
-        counts = jnp.sum(adm_tile, axis=1)
-        overflow = jnp.any(counts > l_eff)
-
-        # admissible tile ids per source group, ascending (key == tile
-        # id when admissible, C when not — a single sort compacts them)
-        key = jnp.where(
-            adm_tile,
-            jnp.arange(c, dtype=jnp.int32)[None, :],
-            jnp.int32(c),
-        )
-        cand = jnp.sort(key, axis=1)[:, :min(width, c)]
-        cand = jnp.where(cand < c, cand, jnp.int32(-1))
-        if width > min(width, c):
-            cand = jnp.pad(
-                cand, ((0, 0), (0, width - c)), constant_values=-1
-            )
-
-        # certificate data: smallest lower bound among EXCLUDED tiles
-        # per group, at build positions (sqrt space, deflated)
-        dc2_gmin = jnp.min(dc2.reshape(ts, gsrc, c), axis=1)
-        lb_g = jnp.maximum(
-            jnp.sqrt(jnp.maximum(dc2_gmin - eps, 0.0))
-            - radii[None, :],
-            0.0,
-        )
-        excl = jnp.min(
-            jnp.where(adm_tile, jnp.float32(BIG), lb_g), axis=1
-        )
-        excl = jnp.maximum(
-            excl * jnp.float32(1.0 - 1e-5) - jnp.float32(1e-6), 0.0
-        )
-
-        idx, dist = jax.lax.cond(
-            overflow, dense, lambda __: rescore(cand), None
-        )
-        new_state = HierState(
-            table=cand,
-            excl=excl,
-            build_pos=transformed,
-            table_valid=jnp.logical_not(overflow),
-            prev_dist=dist,
-            prev_pos=transformed,
-            warm=jnp.asarray(True),
-        )
-        return idx, dist, new_state
-
-    def use_table(_):
-        """Rescore against the cached table (certificate held)."""
-        idx, dist = rescore(state.table)
-        return idx, dist, HierState(
-            table=state.table,
-            excl=state.excl,
-            build_pos=state.build_pos,
-            table_valid=state.table_valid,
-            prev_dist=dist,
-            prev_pos=transformed,
-            warm=jnp.asarray(True),
-        )
-
-    # PREDICTIVE certificate — decided before any kernel runs, so a
-    # stale table never costs a wasted rescore.  The warm bound is a
-    # proven upper bound on the distance the rescore would find, so
-    # ``ub_warm < excl - |Δs since build|`` (strict) proves no excluded
-    # tile can hold a closer or equal-distance target.
-    delta_build = jnp.linalg.norm(transformed - state.build_pos, axis=-1)
+    dc2, eps = _center_dc2(transformed, target)
+    radii = target.radii
+    ub = jnp.min(
+        jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii[None, :],
+        axis=1,
+    )
     delta_prev = jnp.linalg.norm(transformed - state.prev_pos, axis=-1)
-    ub_warm_cert = (
+    ub_warm = (
         jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
         + delta_prev
         + jnp.float32(1e-6)
     )
-    margin = jnp.repeat(state.excl, gsrc) - delta_build
-    cert = jnp.all(
-        jnp.where(src_mask > 0, ub_warm_cert < margin, True)
+    ub = jnp.where(state.warm, jnp.minimum(ub, ub_warm), ub)
+    ub = ub * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
+
+    # admissible <=> sqrt(max(dc2-eps,0)) - r_j <= ub, rearranged to one
+    # fused compare on dc2 (no lb materialization, no second sqrt pass)
+    thresh = (ub[:, None] + radii[None, :]) ** 2 + eps
+    adm = jnp.logical_and(dc2 <= thresh, (src_mask > 0)[:, None])
+    adm_tile = jnp.any(adm.reshape(ts, gsrc, c), axis=1)  # [Ts, C]
+    counts = jnp.sum(adm_tile, axis=1).astype(jnp.int32)
+    overflow = jnp.any(counts > l_eff)
+
+    # admissible tile ids per group, ascending (key == tile id when
+    # admissible, C when not — one sort compacts them); dead slots then
+    # repeat the last live id (cummax) so their kernel DMA dedups with
+    # the neighbor and their compute is count-skipped
+    key = jnp.where(
+        adm_tile,
+        jnp.arange(c, dtype=jnp.int32)[None, :],
+        jnp.int32(c),
     )
-    usable = jnp.logical_and(
-        state.table_valid, jnp.logical_and(state.warm, cert)
+    cand = jnp.sort(key, axis=1)[:, :min(width, c)]
+    cand = jnp.where(cand < c, cand, jnp.int32(-1))
+    if width > c:
+        cand = jnp.pad(
+            cand, ((0, 0), (0, width - c)), constant_values=-1
+        )
+    cand = jnp.maximum(jax.lax.cummax(cand, axis=1), 0)
+
+    def dense(_):
+        idx, dist = nearest_neighbors_pallas(
+            transformed, target.original_points, target.count,
+            interpret=interpret,
+        )
+        return idx, dist, jnp.asarray(False)
+
+    def rescore(_):
+        idx, dist = nearest_neighbors_cand(
+            transformed, target.packed, cand,
+            jnp.minimum(counts, l_eff),
+            g=g, gsrc=gsrc, interpret=interpret,
+        )
+        return idx, dist, jnp.asarray(True)
+
+    idx, dist, used_sparse = jax.lax.cond(overflow, dense, rescore, None)
+    return idx, dist, HierState(
+        prev_dist=dist,
+        prev_pos=transformed,
+        warm=jnp.asarray(True),
+        sparse=used_sparse,
     )
-    return jax.lax.cond(usable, use_table, rebuild, None)
