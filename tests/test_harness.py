@@ -169,6 +169,34 @@ def test_cli_visualization_headless(tmp_path, monkeypatch):
     assert path is not None and os.path.exists(path)
 
 
+def test_runner_warmup_runs_compute_twice(tmp_path):
+    """warmup=True runs the compute once untimed before the timed call
+    (compile time must never land in the CSV time column)."""
+    calls = []
+
+    def fake_compute(before, after, config):
+        calls.append(len(before))
+        return np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1, 0.0
+
+    runner = TestRunner(
+        fake_compute, output_file=str(tmp_path / "w.csv"), warmup=True
+    )
+    runner.add_test(
+        Configuration(
+            computation_method=ComputationMethod.Icp,
+            before_path="data/bunny.obj",
+            after_path="data/bunny.obj",
+            cloud_before_resize=100,
+            cloud_after_resize=100,
+            transformation_parameters=(0.1, 1.0),
+            random_seed=666,
+        )
+    )
+    runner.run_all()
+    runner.close()
+    assert calls == [100, 100]
+
+
 def test_runner_jsonl_logging(tmp_path):
     import json
 

@@ -10,6 +10,10 @@ plus a ``--test-set`` mode replacing the reference's compile-time ``TEST``
 macro (``gpumain.cpp:40-57`` — SURVEY §2.4 "TEST hook"):
 
     python -m tpuslam --test-set sizes [--methods icp,nicp,cpd] [--out DIR]
+                      [--warmup]
+
+``--warmup`` runs each test once untimed before the timed run so jit
+compilation never lands in the CSV ``time(ms)`` column.
 """
 
 from __future__ import annotations
@@ -78,6 +82,7 @@ def run_test_set_cli(args: List[str]) -> int:
         return 1
     methods = list(ComputationMethod)
     out_dir = "."
+    warmup = False
     rest = args[1:]
     while rest:
         flag = rest.pop(0)
@@ -88,10 +93,16 @@ def run_test_set_cli(args: List[str]) -> int:
             ]
         elif flag == "--out" and rest:
             out_dir = rest.pop(0)
+        elif flag == "--warmup":
+            # run each test once untimed first (jit compile excluded
+            # from the recorded time)
+            warmup = True
         else:
             print(f"Unknown flag {flag}")
             return 1
-    files = run_test_set(TEST_SETS[name], name, methods, output_dir=out_dir)
+    files = run_test_set(
+        TEST_SETS[name], name, methods, output_dir=out_dir, warmup=warmup
+    )
     print("Wrote: " + ", ".join(files))
     return 0
 

@@ -24,7 +24,13 @@ class TestRunner:
         compute_function: Optional[SlamFunc] = None,
         output_file: str = "",
         jsonl_path: str = "",
+        warmup: bool = False,
     ):
+        # warmup runs each test's compute once untimed before the timed
+        # call, so jit compilation never lands in ``time(ms)`` (the
+        # reference's CUDA kernels are precompiled; folding a one-off
+        # 200 s XLA compile into row 0 made that row garbage)
+        self.warmup = warmup
         self.compute_function = compute_function or (
             lambda before, after, config: run_with_configuration(
                 before, after, config
@@ -72,6 +78,9 @@ class TestRunner:
     def run_single(self, configuration: Configuration) -> None:
         before, after, _ = get_clouds_from_config(configuration)
 
+        if self.warmup:
+            self.compute_function(before, after, configuration)
+
         timer = Timer()
         result = timer.stage_timed_call(
             "test",
@@ -117,13 +126,15 @@ def run_test_set(
     methods: Sequence[ComputationMethod] = tuple(ComputationMethod),
     compute_function: Optional[SlamFunc] = None,
     output_dir: str = ".",
+    warmup: bool = False,
 ) -> List[str]:
     """``Tests::RunTestSet`` (``testutils.cpp:64-88``): one CSV per method,
     named ``<name>-<method>.csv``.  Returns the written file paths."""
     written = []
+    os.makedirs(output_dir, exist_ok=True)
     for method in methods:
         out = os.path.join(output_dir, f"{name}-{method.value}.csv")
-        runner = TestRunner(compute_function, out)
+        runner = TestRunner(compute_function, out, warmup=warmup)
         for config in acquire(method):
             runner.add_test(config)
         runner.run_all()
