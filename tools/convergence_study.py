@@ -44,12 +44,15 @@ from tpuslam.data.synthesis import get_clouds_from_config
 from tpuslam.harness.testsets import get_object_with_min_size
 
 COMBOS = [(r, t) for t in (10.0, 20.0, 30.0) for r in (0.2, 0.4, 0.6)]
+# the reference's full ladders (testset.cpp:119-187): 5 sizes per method
 SIZES = {
-    ComputationMethod.Icp: [20000, 60000, 100000],
-    ComputationMethod.Cpd: [4000, 12000, 20000],
-    ComputationMethod.NoniterativeIcp: [250000, 750000],
+    ComputationMethod.Icp: [20000, 40000, 60000, 80000, 100000],
+    ComputationMethod.Cpd: [4000, 8000, 12000, 16000, 20000],
+    ComputationMethod.NoniterativeIcp: [
+        250000, 500000, 750000, 1000000, 1250000,
+    ],
 }
-REPEATS = 2
+REPEATS = 5  # reference: 5 repeats per cell
 SPREAD_SQ = 100.0  # cloud-spread 10
 
 
@@ -130,18 +133,29 @@ def main():
                             flush=True,
                         )
 
-    print("\n=== convergence rates ===")
+    lines = ["=== convergence rates ==="]
     for method in SIZES:
         mrows = [r for r in rows if r["method"] == method.value]
         total = sum(r["converged"] for r in mrows) / len(mrows)
-        print(f"{method.value}: overall {total:.2f}")
+        lines.append(f"{method.value}: overall {total:.2f}")
         for rot, trans in COMBOS:
             sub = [
                 r for r in mrows
                 if r["rotation"] == rot and r["translation"] == trans
             ]
             rate = sum(r["converged"] for r in sub) / len(sub)
-            print(f"  rot={rot} trans={trans}: {rate:.2f}")
+            lines.append(f"  rot={rot} trans={trans}: {rate:.2f}")
+        for size in SIZES[method]:
+            sub = [r for r in mrows if r["size"] == size]
+            rate = sum(r["converged"] for r in sub) / len(sub)
+            lines.append(f"  size={size}: {rate:.2f}")
+    summary = "\n".join(lines) + "\n"
+    print("\n" + summary)
+    with open(
+        os.path.join(os.path.dirname(out_path), "convergence_summary.txt"),
+        "w",
+    ) as fh:
+        fh.write(summary)
 
 
 if __name__ == "__main__":

@@ -105,18 +105,30 @@ def icp_register(
         # bound is what makes the sparse path pay.)
         use_spatial = jax.default_backend() == "tpu"
     if use_spatial:
+        from tpuslam.core.types import round_up
         from tpuslam.ops.nn_hier import (
+            DEFAULT_G,
+            DEFAULT_GSRC,
             nearest_neighbors_hier,
             prepare_hier_target,
         )
         from tpuslam.ops.spatial import morton_permutation
 
-        perm_s = morton_permutation(before.points, src_mask)
-        src_points = before.points[perm_s]
+        # the hier path tiles sources/targets in 256-row groups; clouds
+        # are only guaranteed 128-aligned (pad_cloud), so pad here with
+        # masked rows (zero weight, sentineled in the target build)
+        n0, m0 = before.points.shape[0], after.points.shape[0]
+        n_pad = round_up(n0, DEFAULT_GSRC)
+        m_pad = round_up(m0, DEFAULT_G)
+        b_points = jnp.pad(before.points, ((0, n_pad - n0), (0, 0)))
+        src_mask = jnp.pad(src_mask, (0, n_pad - n0))
+        a_points = jnp.pad(after.points, ((0, m_pad - m0), (0, 0)))
+        a_mask = jnp.pad(after.mask(), (0, m_pad - m0))
+
+        perm_s = morton_permutation(b_points, src_mask)
+        src_points = b_points[perm_s]
         src_mask = src_mask[perm_s]
-        target_state = prepare_hier_target(
-            after.points, after.mask(), after.count
-        )
+        target_state = prepare_hier_target(a_points, a_mask, after.count)
 
         interpret = jax.default_backend() != "tpu"
 
