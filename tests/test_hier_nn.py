@@ -173,6 +173,38 @@ def test_hier_padded_target_rows_never_win(rng):
     _assert_oracle(idx_h, dist_h, src_sorted, tgt, "warm")
 
 
+def test_hier_chunked_bound_pass_stays_exact(rng):
+    """Force the bound pass down the lax.map chunked branch (tiny
+    element budget): results must stay bit-identical to the oracle and
+    the sparse arm must still engage on the warm query.  Guards the
+    1.3M-point regime where the full [N, C] center-distance matrix
+    cannot be materialized."""
+    n, m = 2048, 4096
+    src = (rng.random((n, 3)) * 10.0).astype(np.float32)
+    tgt = pad_cloud((rng.random((m, 3)) * 10.0).astype(np.float32),
+                    multiple=m)
+    src_sorted, mask_s = _sorted_sources(src)
+    target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count)
+    state = hier_state_init(n)
+    # c = 16 tiles; budget 4096 elems -> 256 rows/chunk -> 8 chunks
+    idx_h, dist_h, state = nearest_neighbors_hier(
+        src_sorted, mask_s, target, state, interpret=True,
+        bound_chunk_elems=4096,
+    )
+    _assert_oracle(idx_h, dist_h, src_sorted, tgt, "cold chunked")
+    idx_h, dist_h, state = nearest_neighbors_hier(
+        src_sorted, mask_s, target, state, interpret=True,
+        bound_chunk_elems=4096,
+    )
+    assert bool(np.asarray(state.sparse))
+    _assert_oracle(idx_h, dist_h, src_sorted, tgt, "warm chunked")
+    # chunked and unchunked admissibility must agree exactly
+    idx_u, dist_u, _ = nearest_neighbors_hier(
+        src_sorted, mask_s, target, state, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_u))
+
+
 @pytest.mark.parametrize("n", [1500, 1900])
 def test_icp_hier_matches_dense_path(rng, n):
     """n=1500 pads to 1536 (256-aligned); n=1900 pads to 1920, which is

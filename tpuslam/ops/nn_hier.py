@@ -216,7 +216,9 @@ def _center_dc2(
 
 @partial(
     jax.jit,
-    static_argnames=("l_budget", "g", "gsrc", "interpret"),
+    static_argnames=(
+        "l_budget", "g", "gsrc", "interpret", "bound_chunk_elems"
+    ),
 )
 def nearest_neighbors_hier(
     transformed: jnp.ndarray,
@@ -227,6 +229,7 @@ def nearest_neighbors_hier(
     g: int = DEFAULT_G,
     gsrc: int = DEFAULT_GSRC,
     interpret: bool = False,
+    bound_chunk_elems: int = 64 * 1024 * 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, HierState]:
     """(original-target index i32[N], squared distance f32[N], updated
     state) for each sorted source row — bit-identical to the dense
@@ -244,26 +247,61 @@ def nearest_neighbors_hier(
     width = table_width(m, g, l_budget)
     l_eff = min(l_budget, c)  # overflow threshold (true budget)
 
-    dc2, eps = _center_dc2(transformed, target)
-    radii = target.radii
-    ub = jnp.min(
-        jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii[None, :],
-        axis=1,
-    )
-    delta_prev = jnp.linalg.norm(transformed - state.prev_pos, axis=-1)
-    ub_warm = (
-        jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
-        + delta_prev
-        + jnp.float32(1e-6)
-    )
-    ub = jnp.where(state.warm, jnp.minimum(ub, ub_warm), ub)
-    ub = ub * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
+    def bound_chunk(args):
+        """adm_tile rows for one chunk of source groups — everything
+        here is per-source-local, so the N x C distance matrix never
+        materializes beyond one chunk (at 1.3M points the full dc2
+        would be ~26 GB)."""
+        pos, mask_c, prev_pos, prev_dist = args
+        rows = pos.shape[0]
+        dc2, eps = _center_dc2(pos, target)
+        radii = target.radii
+        ub = jnp.min(
+            jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii[None, :],
+            axis=1,
+        )
+        delta_prev = jnp.linalg.norm(pos - prev_pos, axis=-1)
+        ub_warm = (
+            jnp.sqrt(prev_dist) * jnp.float32(1.0 + 1e-5)
+            + delta_prev
+            + jnp.float32(1e-6)
+        )
+        ub = jnp.where(state.warm, jnp.minimum(ub, ub_warm), ub)
+        ub = ub * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
 
-    # admissible <=> sqrt(max(dc2-eps,0)) - r_j <= ub, rearranged to one
-    # fused compare on dc2 (no lb materialization, no second sqrt pass)
-    thresh = (ub[:, None] + radii[None, :]) ** 2 + eps
-    adm = jnp.logical_and(dc2 <= thresh, (src_mask > 0)[:, None])
-    adm_tile = jnp.any(adm.reshape(ts, gsrc, c), axis=1)  # [Ts, C]
+        # admissible <=> sqrt(max(dc2-eps,0)) - r_j <= ub, rearranged
+        # to one fused compare on dc2 (no lb materialization, no second
+        # sqrt pass)
+        thresh = (ub[:, None] + radii[None, :]) ** 2 + eps
+        adm = jnp.logical_and(dc2 <= thresh, (mask_c > 0)[:, None])
+        return jnp.any(adm.reshape(rows // gsrc, gsrc, c), axis=1)
+
+    # chunk the bound pass so the per-chunk [rows, C] intermediates stay
+    # ~<=256 MB; the [Ts, C] admissibility table itself is small
+    rows_per_chunk = max(
+        gsrc, (bound_chunk_elems // max(c, 1)) // gsrc * gsrc
+    )
+    if rows_per_chunk >= n:
+        adm_tile = bound_chunk(
+            (transformed, src_mask, state.prev_pos, state.prev_dist)
+        )
+    else:
+        n_chunks = -(-n // rows_per_chunk)
+        pad = n_chunks * rows_per_chunk - n
+
+        def chunked(x):
+            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+            return x.reshape((n_chunks, rows_per_chunk) + x.shape[1:])
+
+        adm_tile = jax.lax.map(
+            bound_chunk,
+            (
+                chunked(transformed),
+                chunked(src_mask),  # pad rows masked -> no admissions
+                chunked(state.prev_pos),
+                chunked(state.prev_dist),
+            ),
+        ).reshape(-1, c)[:ts]
     counts = jnp.sum(adm_tile, axis=1).astype(jnp.int32)
     overflow = jnp.any(counts > l_eff)
 
