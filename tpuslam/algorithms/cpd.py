@@ -181,10 +181,25 @@ def _cpd_estep_pallas_auto(
 ) -> Sufficient:
     """Pallas E-step with a custom vmap rule: a ``jax.vmap`` over pairs
     (batched registration) lowers to the 3-D-grid batched kernels
-    instead of failing to batch the pallas_call."""
-    from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
+    instead of failing to batch the pallas_call.
 
-    return cpd_estep_pallas(
+    Small moving clouds take the single-pass kernel (the whole Gaussian
+    strip held in VMEM, ``exp`` computed once instead of twice —
+    ``pallas_cpd.cpd_estep_pallas_single``); larger ones the two-phase
+    flash-style recompute."""
+    from tpuslam.core.types import round_up
+    from tpuslam.kernels.pallas_cpd import (
+        SINGLE_PASS_M_CAP,
+        cpd_estep_pallas,
+        cpd_estep_pallas_single,
+    )
+
+    kernel = (
+        cpd_estep_pallas_single
+        if round_up(transformed.shape[0], 1024) <= SINGLE_PASS_M_CAP
+        else cpd_estep_pallas
+    )
+    return kernel(
         transformed, moving_mask, target, target_mask, sigma2, constant,
         trunc_active, interpret=jax.default_backend() != "tpu",
     )
