@@ -86,6 +86,44 @@ def test_sharded_icp_matches_single_device(rng, mesh):
     assert mse < 1e-3
 
 
+def test_sharded_icp_hier_matches_dense_arm(rng, mesh):
+    """Per-shard hierarchical NN inside the sharded ICP loop: the warm
+    bounds, candidate rescore, and cross-shard lex-min combine must
+    reproduce the dense sharded arm's registration (NN results are
+    bit-exact per shard; trajectories may drift at float-noise level
+    from the Morton reordering of the Procrustes sums)."""
+    from tpuslam.parallel.icp import icp_register_sharded
+
+    n = 700  # pads to 768 sources / 2048-aligned target across 8 shards
+    before = (rng.random((n, 3)) * 10).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.2, trans=1.0)
+    after = (before @ r.T + t)[rng.permutation(n)].astype(np.float32)
+
+    dense = icp_register_sharded(
+        replicate_cloud(before, mesh), shard_cloud(after, mesh), mesh,
+        max_iterations=25,
+    )
+    hier = icp_register_sharded(
+        replicate_cloud(before, mesh), shard_cloud(after, mesh), mesh,
+        max_iterations=25, use_spatial=True,
+    )
+    assert abs(int(hier.iterations) - int(dense.iterations)) <= 2
+    np.testing.assert_allclose(
+        np.asarray(hier.transform.rotation),
+        np.asarray(dense.transform.rotation),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hier.transform.translation),
+        np.asarray(dense.transform.translation),
+        atol=1e-2,
+    )
+    # and the injected transform is recovered
+    np.testing.assert_allclose(
+        np.asarray(hier.transform.rotation), r, atol=1e-2
+    )
+
+
 def test_sharded_cpd_matches_single_device(rng, mesh):
     from tpuslam.algorithms.cpd import cpd_register
     from tpuslam.parallel.cpd import cpd_register_sharded

@@ -25,9 +25,65 @@ from tpuslam.parallel.nn import sharded_nn_combine
 
 
 @lru_cache(maxsize=16)
-def _build(mesh: Mesh, divergence_guard: bool):
+def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
+           interpret: bool):
     def loop(before_pts, src_mask, tgt_shard, tgt_count,
              eps, max_d2, max_iterations):
+        if use_spatial:
+            # per-shard hierarchical NN (tpuslam.ops.nn_hier): each
+            # device Morton-sorts and bounds ITS target slice, threads
+            # its own warm state (the local NN of the previous iteration
+            # is still in the local slice, so the warm upper bound holds
+            # per shard), and the global winner is resolved with the
+            # same lex-min collectives as the dense arm.  A shard whose
+            # local minimum exceeds its own bound set can only report a
+            # too-large distance for points it cannot win anyway — the
+            # shard holding the true global NN always has it admissible.
+            from tpuslam.ops.nn_hier import (
+                hier_state_init,
+                nearest_neighbors_hier,
+                prepare_hier_target,
+            )
+            from tpuslam.parallel.nn import BIG, IMAX
+
+            shard_size = tgt_shard.shape[0]
+            offset = (
+                jax.lax.axis_index(POINTS_AXIS) * shard_size
+            ).astype(jnp.int32)
+            count_shard = jnp.clip(tgt_count - offset, 0, shard_size)
+            mask_shard = (
+                jnp.arange(shard_size, dtype=jnp.int32) < count_shard
+            ).astype(jnp.float32)
+            htarget = prepare_hier_target(
+                tgt_shard, mask_shard, count_shard
+            )
+            nn_init = hier_state_init(before_pts.shape[0])
+
+            def run_nn(transformed, carry):
+                il, dl, carry = nearest_neighbors_hier(
+                    transformed, src_mask, htarget, carry,
+                    interpret=interpret,
+                )
+                dl = jnp.where(dl >= BIG, BIG, dl)
+                gl = il + offset
+                dmin = jax.lax.pmin(dl, POINTS_AXIS)
+                cand = jnp.where(dl == dmin, gl, IMAX)
+                gmin = jax.lax.pmin(cand, POINTS_AXIS)
+                win = gmin == gl
+                matched = jax.lax.psum(
+                    jnp.where(win[:, None], tgt_shard[il], 0.0),
+                    POINTS_AXIS,
+                )
+                return dmin, matched, carry
+        else:
+            nn_init = None
+
+            def run_nn(transformed, carry):
+                _, dist, matched = sharded_nn_combine(
+                    transformed, tgt_shard, tgt_count
+                )
+                return dist, matched, carry
+
         def cond(s: ICPState):
             return jnp.logical_and(
                 jnp.logical_not(s.done),
@@ -38,9 +94,7 @@ def _build(mesh: Mesh, divergence_guard: bool):
 
         def body(s: ICPState) -> ICPState:
             transformed = before_pts @ s.rotation.T + s.translation
-            _, dist, matched = sharded_nn_combine(
-                transformed, tgt_shard, tgt_count
-            )
+            dist, matched, nn_state = run_nn(transformed, s.nn)
             w = jnp.logical_and(dist < max_d2, src_mask > 0).astype(
                 jnp.float32
             )
@@ -83,6 +137,7 @@ def _build(mesh: Mesh, divergence_guard: bool):
                 prev_error=jnp.where(keep, err, s.prev_error),
                 iterations=jnp.where(done, s.iterations, s.iterations + 1),
                 done=done,
+                nn=nn_state,
             )
 
         eye = jnp.eye(3, dtype=jnp.float32)
@@ -91,6 +146,7 @@ def _build(mesh: Mesh, divergence_guard: bool):
             rotation=eye, translation=zero,
             error=jnp.float32(1e5), prev_error=FLT_MAX,
             iterations=jnp.int32(0), done=jnp.asarray(False),
+            nn=nn_init,
         )
         final = jax.lax.while_loop(cond, body, init)
         return final.rotation, final.translation, final.iterations, final.error
@@ -113,15 +169,43 @@ def icp_register_sharded(
     max_distance_squared: float = 1000.0,
     max_iterations: int = 50,
     divergence_guard: bool = True,
+    use_spatial: bool = False,
 ) -> RegistrationResult:
     """``before`` replicated, ``after`` sharded along the points axis
-    (see ``tpuslam.parallel.mesh.shard_cloud``)."""
-    fn = _build(mesh, divergence_guard)
+    (see ``tpuslam.parallel.mesh.shard_cloud``).
+
+    ``use_spatial`` runs the warm-start hierarchical NN per shard (the
+    single-device default on TPU — ``tpuslam.ops.nn_hier``); exactness
+    of the global argmin is preserved because every shard's local result
+    is exact for any point it could win."""
+    import jax as _jax
+
+    b_points, b_mask = before.points, before.mask()
+    a_points, a_count = after.points, after.count
+    if use_spatial:
+        from tpuslam.core.types import round_up
+        from tpuslam.ops.nn_hier import DEFAULT_G, DEFAULT_GSRC
+        from tpuslam.ops.spatial import morton_permutation
+
+        n_dev = mesh.devices.size
+        n0, m0 = b_points.shape[0], a_points.shape[0]
+        n_pad = round_up(n0, DEFAULT_GSRC)
+        m_pad = round_up(m0, DEFAULT_G * n_dev)
+        b_points = jnp.pad(b_points, ((0, n_pad - n0), (0, 0)))
+        b_mask = jnp.pad(b_mask, (0, n_pad - n0))
+        a_points = jnp.pad(a_points, ((0, m_pad - m0), (0, 0)))
+        # Morton-sort the replicated source for candidate locality
+        perm_s = morton_permutation(b_points, b_mask)
+        b_points = b_points[perm_s]
+        b_mask = b_mask[perm_s]
+
+    interpret = _jax.default_backend() != "tpu"
+    fn = _build(mesh, divergence_guard, use_spatial, interpret)
     rotation, translation, iterations, error = fn(
-        before.points,
-        before.mask(),
-        after.points,
-        after.count,
+        b_points,
+        b_mask,
+        a_points,
+        a_count,
         jnp.float32(eps),
         jnp.float32(max_distance_squared),
         jnp.int32(max_iterations),
