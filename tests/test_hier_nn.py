@@ -173,6 +173,39 @@ def test_hier_padded_target_rows_never_win(rng):
     _assert_oracle(idx_h, dist_h, src_sorted, tgt, "warm")
 
 
+def test_cand_kernel_segments_large_tables(rng, monkeypatch):
+    """Candidate tables beyond the SMEM cap are segmented over source
+    groups (lax.map) — results must be identical to the unsegmented
+    call.  Guards the >=275k regime where the [groups, width] prefetch
+    operand exceeded the 1 MB SMEM and killed the ladder run."""
+    import tpuslam.kernels.pallas_nn_cand as cand_mod
+
+    # ts = 8 groups; cap 3 forces 3 segments with a padded tail.  The
+    # cap is read at TRACE time, so patch before any call and drop any
+    # cached trace of these shapes from earlier tests.
+    monkeypatch.setattr(cand_mod, "MAX_TABLE_GROUPS", 3)
+    nearest_neighbors_hier.clear_cache()
+    cand_mod.nearest_neighbors_cand.clear_cache()
+
+    n, m = 2048, 4096
+    src = (rng.random((n, 3)) * 10.0).astype(np.float32)
+    tgt = pad_cloud((rng.random((m, 3)) * 10.0).astype(np.float32),
+                    multiple=m)
+    src_sorted, mask_s = _sorted_sources(src)
+    target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count)
+    state = hier_state_init(n)
+    _, _, state = nearest_neighbors_hier(
+        src_sorted, mask_s, target, state, interpret=True
+    )
+    idx_h, dist_h, state = nearest_neighbors_hier(
+        src_sorted, mask_s, target, state, interpret=True
+    )
+    assert bool(np.asarray(state.sparse))
+    _assert_oracle(idx_h, dist_h, src_sorted, tgt, "segmented")
+    nearest_neighbors_hier.clear_cache()
+    cand_mod.nearest_neighbors_cand.clear_cache()
+
+
 def test_hier_chunked_bound_pass_stays_exact(rng):
     """Force the bound pass down the lax.map chunked branch (tiny
     element budget): results must stay bit-identical to the oracle and

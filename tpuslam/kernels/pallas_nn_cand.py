@@ -48,6 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.4e38
 IMAX = 2**31 - 1
 SLOTS_PER_STEP = 8
+# scalar-prefetch operands live in SMEM (1 MB/core); the candidate
+# table is [groups, width] i32 with the minor dim padded up to 256, so
+# cap the groups per kernel launch and lax.map over source segments
+# beyond it (512 * 256 * 4 = 512 KB)
+MAX_TABLE_GROUPS = 512
 
 
 def _make_kernel(slots: int):
@@ -116,6 +121,31 @@ def nearest_neighbors_cand(
     assert ts == n // gsrc and l_slots % slots == 0
     assert counts.shape == (ts,)
     s = slots
+
+    if ts > MAX_TABLE_GROUPS:
+        # segment the source axis so each launch's SMEM table fits;
+        # padded segments carry zero live slots (no compute, outputs
+        # fall through to the no-match contract and are sliced off)
+        seg = MAX_TABLE_GROUPS
+        n_segs = -(-ts // seg)
+        pad_g = n_segs * seg - ts
+        src_t = jnp.pad(
+            src_sorted, ((0, pad_g * gsrc), (0, 0))
+        ).reshape(n_segs, seg * gsrc, 3)
+        cand_t = jnp.pad(candidates, ((0, pad_g), (0, 0))).reshape(
+            n_segs, seg, l_slots
+        )
+        counts_t = jnp.pad(counts, (0, pad_g)).reshape(n_segs, seg)
+
+        def one(args):
+            src_s, cand_s, counts_s = args
+            return nearest_neighbors_cand(
+                src_s, tgt_packed, cand_s, counts_s,
+                g=g, gsrc=gsrc, slots=slots, interpret=interpret,
+            )
+
+        idx_t, dist_t = jax.lax.map(one, (src_t, cand_t, counts_t))
+        return idx_t.reshape(-1)[:n], dist_t.reshape(-1)[:n]
 
     def t_spec(r):
         return pl.BlockSpec(
