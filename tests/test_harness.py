@@ -147,6 +147,47 @@ def test_run_test_set_writes_per_method(tmp_path):
         assert len(open(f).read().strip().split("\n")) == 2
 
 
+def test_run_test_set_resume_skips_completed(tmp_path):
+    sizes_seen = []
+
+    def two(method):
+        return [
+            Configuration(
+                computation_method=method,
+                before_path="data/bunny.obj",
+                after_path="data/bunny.obj",
+                cloud_before_resize=size,
+                cloud_after_resize=size,
+                cloud_spread=10.0,
+                max_iterations=5,
+                max_distance_squared=10000.0,
+                transformation_parameters=(0.2, 5.0),
+                random_seed=1,
+            )
+            for size in (200, 300)
+        ]
+
+    def fake(before, after, config):
+        sizes_seen.append(len(before))
+        return np.eye(3), np.zeros(3), 1, 0.0
+
+    # simulate an interrupted run: only the first row made it to disk
+    out = tmp_path / "mini-icp.csv"
+    out.write_text(
+        "test-no;cloud-size;rotation;translation;time(ms);iterations;error\n"
+        "0;200;0.200000;5.000000;7;1;0.000000\n"
+    )
+    run_test_set(
+        two, "mini", methods=[ComputationMethod.Icp],
+        compute_function=fake, output_dir=str(tmp_path), resume=True,
+    )
+    assert sizes_seen == [300]  # completed rung not re-run
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 3
+    assert lines[1].startswith("0;200;")
+    assert lines[2].startswith("1;300;")
+
+
 def test_cli_default_config_runs(capsys):
     from tpuslam.harness.cli import main
 

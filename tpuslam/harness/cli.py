@@ -10,7 +10,7 @@ plus a ``--test-set`` mode replacing the reference's compile-time ``TEST``
 macro (``gpumain.cpp:40-57`` — SURVEY §2.4 "TEST hook"):
 
     python -m tpuslam --test-set sizes [--methods icp,nicp,cpd] [--out DIR]
-                      [--warmup]
+                      [--warmup] [--resume]
 
 ``--warmup`` runs each test once untimed before the timed run so jit
 compilation never lands in the CSV ``time(ms)`` column.
@@ -83,6 +83,7 @@ def run_test_set_cli(args: List[str]) -> int:
     methods = list(ComputationMethod)
     out_dir = "."
     warmup = False
+    resume = False
     rest = args[1:]
     while rest:
         flag = rest.pop(0)
@@ -97,11 +98,16 @@ def run_test_set_cli(args: List[str]) -> int:
             # run each test once untimed first (jit compile excluded
             # from the recorded time)
             warmup = True
+        elif flag == "--resume":
+            # continue an interrupted run: keep completed CSV rows and
+            # skip their configurations
+            resume = True
         else:
             print(f"Unknown flag {flag}")
             return 1
     files = run_test_set(
-        TEST_SETS[name], name, methods, output_dir=out_dir, warmup=warmup
+        TEST_SETS[name], name, methods, output_dir=out_dir, warmup=warmup,
+        resume=resume,
     )
     print("Wrote: " + ", ".join(files))
     return 0

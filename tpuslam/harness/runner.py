@@ -25,6 +25,7 @@ class TestRunner:
         output_file: str = "",
         jsonl_path: str = "",
         warmup: bool = False,
+        resume: bool = False,
     ):
         # warmup runs each test's compute once untimed before the timed
         # call, so jit compilation never lands in ``time(ms)`` (the
@@ -45,13 +46,25 @@ class TestRunner:
             from tpuslam.harness.logging import RunLogger
 
             self.run_logger = RunLogger(jsonl_path)
+        # resume: if the CSV already holds completed rows (an interrupted
+        # benchmark run), append after them instead of truncating, and
+        # expose the count as ``start_index`` so the caller can skip the
+        # already-measured configurations
+        self.start_index = 0
         self._fh = None
         if output_file:
-            self._fh = open(output_file, "w")
-            self._write(
-                "test-no;cloud-size;rotation;translation;"
-                "time(ms);iterations;error\n"
-            )
+            if resume and os.path.exists(output_file):
+                with open(output_file) as fh:
+                    done = [ln for ln in fh if ln.strip()][1:]
+                self.start_index = len(done)
+            if self.start_index:
+                self._fh = open(output_file, "a")
+            else:
+                self._fh = open(output_file, "w")
+                self._write(
+                    "test-no;cloud-size;rotation;translation;"
+                    "time(ms);iterations;error\n"
+                )
 
     def _write(self, line: str) -> None:
         self.rows.append(line)
@@ -63,7 +76,7 @@ class TestRunner:
         self.tests.append(configuration)
 
     def run_all(self) -> None:
-        self.current_test_index = 0
+        self.current_test_index = self.start_index
         pending, self.tests = self.tests, []
         for test in pending:
             print("=" * 66)
@@ -138,15 +151,20 @@ def run_test_set(
     compute_function: Optional[SlamFunc] = None,
     output_dir: str = ".",
     warmup: bool = False,
+    resume: bool = False,
 ) -> List[str]:
     """``Tests::RunTestSet`` (``testutils.cpp:64-88``): one CSV per method,
-    named ``<name>-<method>.csv``.  Returns the written file paths."""
+    named ``<name>-<method>.csv``.  Returns the written file paths.
+
+    ``resume=True`` continues an interrupted run: rows already present in
+    the output CSV are kept and their configurations skipped."""
     written = []
     os.makedirs(output_dir, exist_ok=True)
     for method in methods:
         out = os.path.join(output_dir, f"{name}-{method.value}.csv")
-        runner = TestRunner(compute_function, out, warmup=warmup)
-        for config in acquire(method):
+        runner = TestRunner(compute_function, out, warmup=warmup,
+                            resume=resume)
+        for config in list(acquire(method))[runner.start_index:]:
             runner.add_test(config)
         runner.run_all()
         runner.close()
