@@ -76,6 +76,15 @@ class TestRunner:
         self.tests.append(configuration)
 
     def run_all(self) -> None:
+        # prime the device with one trivial dispatch before the first
+        # real test: on relayed TPU backends a fresh worker process has
+        # been observed to crash when its very first dispatch is a large
+        # program (reproduced deterministically at ~1M-point ICP; any
+        # prior dispatch, however small, avoids it)
+        import jax.numpy as jnp
+
+        float(jnp.sum(jnp.ones((8, 128), jnp.float32)))
+
         self.current_test_index = self.start_index
         pending, self.tests = self.tests, []
         for test in pending:
