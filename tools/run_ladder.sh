@@ -16,11 +16,21 @@ CSV="$OUT/$TEST_SET-$METHOD.csv"
 rows() { [ -f "$CSV" ] && grep -c ';' "$CSV" || echo 0; }
 
 prev=-1
+stuck=0
 for attempt in $(seq 1 40); do
   cur=$(rows)
   if [ "$cur" -eq "$prev" ]; then
-    echo "[run_ladder] no progress after attempt $((attempt-1)) (rows=$cur); giving up" >> "$LOG"
-    exit 1
+    stuck=$((stuck+1))
+    # a relayed worker crash right after relaunch looks like "no
+    # progress" even when the rung itself is fine — only give up after
+    # three consecutive zero-progress attempts (a genuinely
+    # deterministic per-rung fault)
+    if [ "$stuck" -ge 3 ]; then
+      echo "[run_ladder] no progress after $stuck attempts (rows=$cur); giving up" >> "$LOG"
+      exit 1
+    fi
+  else
+    stuck=0
   fi
   prev=$cur
   echo "[run_ladder] attempt $attempt (rows so far: $cur)" >> "$LOG"
@@ -31,8 +41,9 @@ for attempt in $(seq 1 40); do
     echo "[run_ladder] complete after attempt $attempt (rows: $(rows))" >> "$LOG"
     exit 0
   fi
-  # let a crashed relay worker recover before relaunching
-  sleep 45
+  # let a crashed relay worker recover before relaunching; back off
+  # harder when the same rung keeps failing
+  sleep $((45 + 60 * stuck))
 done
 echo "[run_ladder] attempt budget exhausted" >> "$LOG"
 exit 1
