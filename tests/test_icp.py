@@ -127,3 +127,70 @@ def test_nan_input_terminates(rng):
         pad_cloud(before), pad_cloud(after), max_iterations=-1
     )
     assert int(result.iterations) < 10  # terminated, not spun
+
+
+def test_chunked_matches_unchunked(rng):
+    # chunked dispatch must follow the identical trajectory: same final
+    # transform, error, and total iteration count, for chunk sizes that
+    # do and do not divide the iteration count
+    from tpuslam.algorithms.icp import icp_register_chunked
+
+    cloud = make_cloud(rng, 400)
+    r_true, t_true = random_rigid(rng, 0.6, 4.0)
+    after = cloud @ r_true.T + t_true
+    kw = dict(eps=1e-7, max_distance_squared=1e4, max_iterations=50)
+    whole = register(cloud, after, **kw)
+    for chunk in (1, 3, 10, 64):
+        parts = icp_register_chunked(
+            pad_cloud(cloud), pad_cloud(after), chunk=chunk, **kw
+        )
+        assert int(parts.iterations) == int(whole.iterations), chunk
+        np.testing.assert_array_equal(
+            np.asarray(parts.transform.rotation),
+            np.asarray(whole.transform.rotation),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(parts.transform.translation),
+            np.asarray(whole.transform.translation),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(parts.error), np.asarray(whole.error)
+        )
+
+
+def test_chunked_matches_unchunked_run_to_eps(rng):
+    # max_iterations=-1 (run to convergence) through the chunked driver
+    from tpuslam.algorithms.icp import icp_register_chunked
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.2, 1.0)
+    after = cloud @ r_true.T + t_true
+    kw = dict(eps=1e-5, max_distance_squared=1e4, max_iterations=-1)
+    whole = register(cloud, after, **kw)
+    parts = icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), chunk=4, **kw
+    )
+    assert int(parts.iterations) == int(whole.iterations)
+    np.testing.assert_array_equal(
+        np.asarray(parts.error), np.asarray(whole.error)
+    )
+
+
+def test_chunked_divergence_guard(rng):
+    # a diverging problem must stop inside a chunk with the reverted
+    # transform, exactly as the unchunked guard does
+    from tpuslam.algorithms.icp import icp_register_chunked
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 2.8, 20.0)  # hostile transform
+    after = cloud @ r_true.T + t_true
+    kw = dict(eps=1e-12, max_distance_squared=1e6, max_iterations=40)
+    whole = register(cloud, after, **kw)
+    parts = icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), chunk=7, **kw
+    )
+    assert int(parts.iterations) == int(whole.iterations)
+    np.testing.assert_array_equal(
+        np.asarray(parts.transform.rotation),
+        np.asarray(whole.transform.rotation),
+    )

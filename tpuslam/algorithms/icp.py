@@ -59,6 +59,16 @@ class RegistrationResult(NamedTuple):
     history: Optional[jnp.ndarray] = None
 
 
+class ICPResume(NamedTuple):
+    """Warm-start carry for chunked dispatch (``icp_register_chunked``):
+    the accepted transform and its error, exactly as the while_loop would
+    hold them at an iteration boundary."""
+
+    rotation: jnp.ndarray  # f32[3,3]
+    translation: jnp.ndarray  # f32[3]
+    error: jnp.ndarray  # f32[]
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -75,6 +85,7 @@ def icp_register(
     divergence_guard: bool = True,
     verbose: bool = False,
     use_spatial: Optional[bool] = None,
+    resume: Optional[ICPResume] = None,
 ) -> RegistrationResult:
     """Register ``before`` onto ``after``; returns (R, t) with
     ``after ≈ R @ before + t`` plus iteration count and final MSE.
@@ -234,15 +245,30 @@ def icp_register(
         )
     else:
         nn_init = None
-    init = ICPState(
-        rotation=eye,
-        translation=zero,
-        error=jnp.float32(1e5),  # basicicp.cpp:26
-        prev_error=FLT_MAX,
-        iterations=jnp.int32(0),
-        done=jnp.asarray(False),
-        nn=nn_init,
-    )
+    if resume is None:
+        init = ICPState(
+            rotation=eye,
+            translation=zero,
+            error=jnp.float32(1e5),  # basicicp.cpp:26
+            prev_error=FLT_MAX,
+            iterations=jnp.int32(0),
+            done=jnp.asarray(False),
+            nn=nn_init,
+        )
+    else:
+        # warm start at an iteration boundary: the accepted transform is
+        # the carry, and prev_error equals the last accepted error — the
+        # exact values the while_loop state would hold had it continued,
+        # so a chunked run follows the unchunked trajectory step for step
+        init = ICPState(
+            rotation=jnp.asarray(resume.rotation, jnp.float32),
+            translation=jnp.asarray(resume.translation, jnp.float32),
+            error=jnp.asarray(resume.error, jnp.float32),
+            prev_error=jnp.asarray(resume.error, jnp.float32),
+            iterations=jnp.int32(0),
+            done=jnp.asarray(False),
+            nn=nn_init,
+        )
     final = jax.lax.while_loop(cond, body, init)
     return RegistrationResult(
         transform=RigidTransform(
@@ -252,4 +278,58 @@ def icp_register(
         ),
         iterations=final.iterations,
         error=final.error,
+    )
+
+
+def icp_register_chunked(
+    before: Cloud,
+    after: Cloud,
+    eps: float = 1e-3,
+    max_distance_squared: float = 1000.0,
+    max_iterations: int = 50,
+    chunk: int = 10,
+    **kwargs,
+) -> RegistrationResult:
+    """``icp_register`` dispatched ``chunk`` iterations at a time, the
+    transform warm-started across dispatches (``ICPResume``).
+
+    Produces the identical trajectory to a single whole-loop dispatch
+    (same per-iteration math, same divergence-guard state at every
+    boundary; the hierarchical-NN warm state resets per chunk, which
+    changes only which exact-NN arm computes, never its result) while
+    bounding single-dispatch device time.  Motivation: very large clouds
+    (~1M+) in one 50-iteration dispatch mean multi-minute XLA programs,
+    which long-running relayed TPU workers have been observed to die
+    under; ~5-second dispatches survive.  Bounded dispatches are also
+    the checkpointable unit for resumable long registrations
+    (SURVEY §5.4)."""
+    assert chunk >= 1
+    total = 0
+    resume = None
+    while True:
+        if max_iterations == -1:
+            k = chunk
+        else:
+            k = min(chunk, max_iterations - total)
+        result = icp_register(
+            before, after, eps=eps,
+            max_distance_squared=max_distance_squared,
+            max_iterations=k, resume=resume, **kwargs,
+        )
+        did = int(result.iterations)
+        total += did
+        # the loop body freezes the iteration counter when it stops
+        # (converged / diverged / no correspondences), so an early stop
+        # is exactly "fewer than the allowed k iterations ran"
+        if did < k or (max_iterations != -1 and total >= max_iterations):
+            break
+        resume = ICPResume(
+            rotation=result.transform.rotation,
+            translation=result.transform.translation,
+            error=result.error,
+        )
+    return RegistrationResult(
+        transform=result.transform,
+        iterations=jnp.int32(total),
+        error=result.error,
     )

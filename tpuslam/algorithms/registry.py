@@ -50,18 +50,39 @@ def _run_icp(
     before: np.ndarray, after: np.ndarray, config: Configuration
 ) -> SlamResult:
     """Mirrors ``CalculateICPWithConfiguration`` (``basicicp.cpp:12-21``)."""
-    from tpuslam.algorithms.icp import icp_register
+    import os
+
+    import jax
+
+    from tpuslam.algorithms.icp import icp_register, icp_register_chunked
 
     max_iterations = (
         int(config.max_iterations) if config.max_iterations is not None else -1
     )
-    result = icp_register(
-        pad_cloud(before),
-        pad_cloud(after),
+    # very large clouds: bound single-dispatch device time by running the
+    # loop in warm-started chunks (identical trajectory — see
+    # icp_register_chunked).  TPUSLAM_ICP_CHUNK=0 disables, =N forces N.
+    chunk = os.environ.get("TPUSLAM_ICP_CHUNK")
+    if chunk is not None:
+        chunk = int(chunk)
+    elif (
+        jax.default_backend() == "tpu"
+        and max(before.shape[0], after.shape[0]) >= 512_000
+    ):
+        chunk = 10
+    else:
+        chunk = 0
+    common = dict(
         eps=config.convergence_epsilon,
         max_distance_squared=config.max_distance_squared,
         max_iterations=max_iterations,
     )
+    if chunk:
+        result = icp_register_chunked(
+            pad_cloud(before), pad_cloud(after), chunk=chunk, **common
+        )
+    else:
+        result = icp_register(pad_cloud(before), pad_cloud(after), **common)
     return (
         np.asarray(result.transform.rotation),
         np.asarray(result.transform.translation),
