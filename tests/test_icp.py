@@ -115,6 +115,27 @@ def test_registry_end_to_end(rng):
     np.testing.assert_allclose(rot, r_true, atol=1e-2)
 
 
+def test_registry_chunk_env_matches_whole(rng, monkeypatch):
+    # TPUSLAM_ICP_CHUNK forces the chunked driver through the registry;
+    # results must be identical to the single-dispatch run
+    from tpuslam.algorithms.registry import run_with_configuration
+    from tpuslam.config.configuration import Configuration
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.3, 2.0)
+    after = cloud @ r_true.T + t_true
+    config = Configuration(
+        max_iterations=50, max_distance_squared=1e4, convergence_epsilon=1e-7
+    )
+    whole = run_with_configuration(cloud, after, config)
+    monkeypatch.setenv("TPUSLAM_ICP_CHUNK", "6")
+    parts = run_with_configuration(cloud, after, config)
+    np.testing.assert_array_equal(parts[0], whole[0])
+    np.testing.assert_array_equal(parts[1], whole[1])
+    assert parts[2] == whole[2]
+    assert parts[3] == whole[3]
+
+
 def test_nan_input_terminates(rng):
     """Fail-fast guard (SURVEY §5.3): non-finite data must not spin the
     unbounded (-1) loop forever."""
