@@ -61,7 +61,7 @@ def main():
             angle = ns._angle_deg(e)
             is_self = ns._is_self_pair(e, config)
             if is_self and angle <= 60.0:
-                tier, ok = "recover", mse <= mse_id * 0.005
+                tier, ok = "recover", mse <= mse_id * ns.recover_bar(e)
             elif not is_self and angle <= 60.0:
                 tier, ok = "align", mse <= mse_id * 0.5
             else:
