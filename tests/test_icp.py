@@ -215,3 +215,30 @@ def test_chunked_divergence_guard(rng):
         np.asarray(parts.transform.rotation),
         np.asarray(whole.transform.rotation),
     )
+
+
+def test_chunked_matches_unchunked_spatial(rng):
+    # the production auto-chunk regime is TPU + hierarchical NN; cover
+    # the arm-switching trajectory (cold dense -> warm rescore, warm
+    # state carried across chunk boundaries) in Pallas interpret mode
+    from tpuslam.algorithms.icp import icp_register_chunked
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.3, 2.0)
+    after = cloud @ r_true.T + t_true
+    kw = dict(
+        eps=1e-7, max_distance_squared=1e4, max_iterations=12,
+        use_spatial=True,
+    )
+    whole = register(cloud, after, **kw)
+    parts = icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), chunk=5, **kw
+    )
+    assert int(parts.iterations) == int(whole.iterations)
+    np.testing.assert_array_equal(
+        np.asarray(parts.transform.rotation),
+        np.asarray(whole.transform.rotation),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(parts.error), np.asarray(whole.error)
+    )

@@ -57,16 +57,24 @@ class RegistrationResult(NamedTuple):
     # optional per-iteration trace (CPD: [H, 4] of sigma2/ntol/L/scale),
     # populated only by the record_history paths (SURVEY §5.4 debuggability)
     history: Optional[jnp.ndarray] = None
+    # final hierarchical-NN warm state (spatial ICP only) — lets a
+    # chunked driver carry the warm bounds across dispatches
+    nn: Optional["HierState"] = None
 
 
 class ICPResume(NamedTuple):
     """Warm-start carry for chunked dispatch (``icp_register_chunked``):
     the accepted transform and its error, exactly as the while_loop would
-    hold them at an iteration boundary."""
+    hold them at an iteration boundary, plus the hierarchical-NN warm
+    state (valid across dispatches: the sorted source order is a pure
+    function of the input cloud, so positions/distances line up) and the
+    iterations already done (verbose loop_nr continuity)."""
 
     rotation: jnp.ndarray  # f32[3,3]
     translation: jnp.ndarray  # f32[3]
     error: jnp.ndarray  # f32[]
+    nn: Optional["HierState"] = None
+    done_before: int = 0
 
 
 @partial(
@@ -220,9 +228,11 @@ def icp_register(
         iterations = jnp.where(done, s.iterations, s.iterations + 1)
 
         if verbose:
-            # the reference's per-iteration printf (basicicp.cpp:50)
+            # the reference's per-iteration printf (basicicp.cpp:50);
+            # iter_offset keeps numbering continuous across chunks
             jax.debug.print(
-                "loop_nr {i}, error: {e}", i=s.iterations + 1, e=err
+                "loop_nr {i}, error: {e}",
+                i=s.iterations + 1 + iter_offset, e=err,
             )
         keep_going = jnp.logical_not(done)
         return ICPState(
@@ -238,13 +248,20 @@ def icp_register(
     eye = jnp.eye(3, dtype=jnp.float32)
     zero = jnp.zeros((3,), dtype=jnp.float32)
     if use_spatial:
-        from tpuslam.ops.nn_hier import hier_state_init
+        if resume is not None and resume.nn is not None:
+            nn_init = resume.nn
+        else:
+            from tpuslam.ops.nn_hier import hier_state_init
 
-        nn_init = hier_state_init(
-            src_points.shape[0], after.points.shape[0]
-        )
+            nn_init = hier_state_init(
+                src_points.shape[0], after.points.shape[0]
+            )
     else:
         nn_init = None
+    iter_offset = (
+        jnp.int32(0) if resume is None
+        else jnp.asarray(resume.done_before, jnp.int32)
+    )
     if resume is None:
         init = ICPState(
             rotation=eye,
@@ -278,7 +295,23 @@ def icp_register(
         ),
         iterations=final.iterations,
         error=final.error,
+        nn=final.nn,
     )
+
+
+_device_primed = False
+
+
+def _prime_device() -> None:
+    """One tiny dispatch before the first big one: a fresh relayed TPU
+    worker has been observed (reproducibly, 5/5) to crash when its very
+    FIRST dispatch is a large multi-second program; any prior dispatch
+    avoids it.  No-op off-TPU and after the first call."""
+    global _device_primed
+    if _device_primed or jax.default_backend() != "tpu":
+        return
+    float(jnp.sum(jnp.ones((8, 128), jnp.float32)))
+    _device_primed = True
 
 
 def icp_register_chunked(
@@ -291,19 +324,20 @@ def icp_register_chunked(
     **kwargs,
 ) -> RegistrationResult:
     """``icp_register`` dispatched ``chunk`` iterations at a time, the
-    transform warm-started across dispatches (``ICPResume``).
+    transform AND the hierarchical-NN warm state warm-started across
+    dispatches (``ICPResume``).
 
     Produces the identical trajectory to a single whole-loop dispatch
-    (same per-iteration math, same divergence-guard state at every
-    boundary; the hierarchical-NN warm state resets per chunk, which
-    changes only which exact-NN arm computes, never its result) while
-    bounding single-dispatch device time.  Motivation: very large clouds
-    (~1M+) in one 50-iteration dispatch mean multi-minute XLA programs,
-    which long-running relayed TPU workers have been observed to die
-    under; ~5-second dispatches survive.  Bounded dispatches are also
-    the checkpointable unit for resumable long registrations
-    (SURVEY §5.4)."""
-    assert chunk >= 1
+    (same per-iteration math, same divergence-guard state and NN warm
+    bounds at every boundary) while bounding single-dispatch device
+    time.  Motivation: very large clouds (~1M+) in one 50-iteration
+    dispatch mean multi-minute XLA programs, which long-running relayed
+    TPU workers have been observed to die under; ~5-second dispatches
+    survive.  Bounded dispatches are also the checkpointable unit for
+    resumable long registrations (SURVEY §5.4)."""
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    _prime_device()
     total = 0
     resume = None
     while True:
@@ -327,6 +361,8 @@ def icp_register_chunked(
             rotation=result.transform.rotation,
             translation=result.transform.translation,
             error=result.error,
+            nn=result.nn,
+            done_before=jnp.int32(total),
         )
     return RegistrationResult(
         transform=result.transform,

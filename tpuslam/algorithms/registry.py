@@ -59,17 +59,28 @@ def _run_icp(
     max_iterations = (
         int(config.max_iterations) if config.max_iterations is not None else -1
     )
-    # very large clouds: bound single-dispatch device time by running the
+    # long dispatches: bound single-dispatch device time by running the
     # loop in warm-started chunks (identical trajectory — see
-    # icp_register_chunked).  TPUSLAM_ICP_CHUNK=0 disables, =N forces N.
-    chunk = os.environ.get("TPUSLAM_ICP_CHUNK")
-    if chunk is not None:
-        chunk = int(chunk)
-    elif (
-        jax.default_backend() == "tpu"
-        and max(before.shape[0], after.shape[0]) >= 512_000
-    ):
-        chunk = 10
+    # icp_register_chunked).  The failure mode this guards against is
+    # dispatch DURATION, so the gate estimates work (points x
+    # iterations) rather than size alone: a 480k-point 200-iteration
+    # run is as long-dispatched as a 1M-point 50-iteration one.
+    # TPUSLAM_ICP_CHUNK=0 disables, =N forces N iterations per chunk.
+    n_max = max(before.shape[0], after.shape[0])
+    chunk_env = os.environ.get("TPUSLAM_ICP_CHUNK")
+    if chunk_env is not None:
+        try:
+            chunk = max(0, int(chunk_env))
+        except ValueError:
+            chunk = 0
+    elif jax.default_backend() == "tpu":
+        est_iters = 50 if max_iterations == -1 else max_iterations
+        # trigger at the work of 512k points x 50 iterations; size each
+        # dispatch at ~512k x 10 point-iterations (~5 s on v5e)
+        if n_max * max(est_iters, 1) >= 512_000 * 50:
+            chunk = max(1, min(50, (512_000 * 10) // max(n_max, 1)))
+        else:
+            chunk = 0
     else:
         chunk = 0
     common = dict(
