@@ -68,3 +68,38 @@ def test_chunked_path(rng):
     top2 = np.partition(d_full, 1, axis=1)[:, :2]
     clear = (top2[:, 1] - top2[:, 0]) > 1e-4
     np.testing.assert_array_equal(np.asarray(idx)[clear], idx_np[clear])
+
+
+def test_no_match_contract_unified(rng):
+    """Zero valid targets: every NN path returns (idx=0, dist=BIG) — the
+    argmin-over-all-BIG convention of the jnp oracle.  A stable in-range
+    index matters: the sharded combine adds a shard offset to it and the
+    ICP loop gathers with it (padding weight masks the pair later)."""
+    from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
+    from tpuslam.ops.nn import BIG
+    from tpuslam.ops.nn_hier import (
+        hier_state_init,
+        nearest_neighbors_hier,
+        prepare_hier_target,
+    )
+
+    src = jnp.asarray(make_cloud(rng, 256))
+    tgt = jnp.asarray(make_cloud(rng, 512))
+    count = jnp.int32(0)
+
+    idx, dist = nearest_neighbors_ref(src, tgt, count)
+    assert (np.asarray(idx) == 0).all()
+    assert (np.asarray(dist) == float(BIG)).all()
+
+    idx, dist = nearest_neighbors_pallas(src, tgt, count, interpret=True)
+    assert (np.asarray(idx) == 0).all()
+    assert (np.asarray(dist) == float(BIG)).all()
+
+    mask = jnp.zeros((512,), jnp.float32)
+    target = prepare_hier_target(tgt, mask, count)
+    idx, dist, _ = nearest_neighbors_hier(
+        src, jnp.ones((256,), jnp.float32), target,
+        hier_state_init(256), interpret=True,
+    )
+    assert (np.asarray(idx) == 0).all()
+    assert (np.asarray(dist) == float(BIG)).all()

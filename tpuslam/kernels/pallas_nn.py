@@ -155,11 +155,14 @@ def nearest_neighbors_pallas(
     )(src.T, tgt)
     # sentinel rows report astronomical "distances" (~3e38, or inf when
     # the arithmetic saturates — input-dependent); map the whole sentinel
-    # range back to the oracle's exact BIG so the no-match contract is
-    # identical across backends
+    # range back to the oracle's exact BIG, and the winning sentinel-row
+    # index back to the oracle's 0, so the no-match contract
+    # (idx=0, dist=BIG) is identical across backends
     dist = dist.reshape(n)
-    dist = jnp.where(dist >= _SENTINEL_DIST, BIG, dist)
-    return idx.reshape(n)[:n0], dist[:n0]
+    no_match = dist >= _SENTINEL_DIST
+    dist = jnp.where(no_match, BIG, dist)
+    idx = jnp.where(no_match, 0, idx.reshape(n))
+    return idx[:n0], dist[:n0]
 
 
 def _nn_kernel_batch(srcT_ref, tgt_ref, dist_ref, idx_ref):
@@ -242,5 +245,7 @@ def nearest_neighbors_pallas_batch(
         interpret=interpret,
     )(jnp.swapaxes(src, 1, 2), tgt)
     dist = dist.reshape(b, n)
-    dist = jnp.where(dist >= _SENTINEL_DIST, BIG, dist)
-    return idx.reshape(b, n)[:, :n0], dist[:, :n0]
+    no_match = dist >= _SENTINEL_DIST
+    dist = jnp.where(no_match, BIG, dist)
+    idx = jnp.where(no_match, 0, idx.reshape(b, n))
+    return idx[:, :n0], dist[:, :n0]

@@ -114,7 +114,7 @@ def nearest_neighbors_cand(
     ``slots``); ``counts`` i32[N//gsrc] live slots per group.  Returns
     per SORTED source row (original target index i32[N], squared
     distance f32[N]); rows with no admissible candidate report the
-    oracle's exact BIG / IMAX no-match contract."""
+    oracle's exact (idx=0, dist=BIG) no-match contract."""
     n, m = src_sorted.shape[0], tgt_packed.shape[0]
     assert n % gsrc == 0 and m % g == 0
     ts, l_slots = candidates.shape
@@ -176,8 +176,9 @@ def nearest_neighbors_cand(
     dist = dist.reshape(n)
     idxf = idxf.reshape(n)
     # sentinel rows report astronomical distances; map the whole range
-    # back to the oracle's exact BIG / IMAX no-match contract
+    # back to the jnp oracle's exact (idx=0, dist=BIG) no-match contract
+    # (shared with pallas_nn) so downstream index arithmetic stays safe
     no_match = dist >= jnp.float32(1e37)
     dist = jnp.where(no_match, BIG, dist)
-    idx = jnp.where(no_match, IMAX, idxf.astype(jnp.int32))
+    idx = jnp.where(no_match, 0, idxf.astype(jnp.int32))
     return idx, dist

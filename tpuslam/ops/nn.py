@@ -47,6 +47,25 @@ def _chunk_nn(
     return idx, best
 
 
+def chunked_nn(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_invalid: jnp.ndarray,
+    chunk: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``_chunk_nn`` over fixed source chunks so the (chunk, M) distance
+    tile stays bounded regardless of N.  Shared by the oracle below and
+    the per-shard search in ``tpuslam.parallel.nn``."""
+    n = src.shape[0]
+    if n <= chunk:
+        return _chunk_nn(src, tgt, tgt_invalid)
+    pad = (-n) % chunk
+    src_p = jnp.pad(src, ((0, pad), (0, 0)))
+    src_c = src_p.reshape(n // chunk + (1 if pad else 0), chunk, 3)
+    idx, dist = jax.lax.map(lambda s: _chunk_nn(s, tgt, tgt_invalid), src_c)
+    return idx.reshape(-1)[:n], dist.reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def nearest_neighbors_ref(
     src: jnp.ndarray,
@@ -57,18 +76,14 @@ def nearest_neighbors_ref(
     """For each source row, the index and squared distance of the nearest
     valid target row.  ``src``: f32[N,3], ``tgt``: f32[M,3] (padded),
     ``tgt_count``: i32[] count of valid targets.  Returns (i32[N], f32[N]).
+
+    No-match contract (zero valid targets): ``(idx=0, dist=BIG)`` —
+    argmin over an all-``BIG`` row.  The Pallas kernels normalize to the
+    same values.
     """
-    n = src.shape[0]
     m = tgt.shape[0]
     tgt_invalid = jnp.arange(m, dtype=jnp.int32) >= tgt_count
-    if n <= chunk:
-        return _chunk_nn(src, tgt, tgt_invalid)
-    # process source in fixed chunks to bound the (chunk, M) live tile
-    pad = (-n) % chunk
-    src_p = jnp.pad(src, ((0, pad), (0, 0)))
-    src_c = src_p.reshape(n // chunk + (1 if pad else 0), chunk, 3)
-    idx, dist = jax.lax.map(lambda s: _chunk_nn(s, tgt, tgt_invalid), src_c)
-    return idx.reshape(-1)[:n], dist.reshape(-1)[:n]
+    return chunked_nn(src, tgt, tgt_invalid, chunk)
 
 
 @jax.custom_batching.custom_vmap

@@ -120,6 +120,13 @@ def prepare_hier_target(
 ) -> HierTarget:
     m = points.shape[0]
     assert m % g == 0, "padded target length must divide the tile size"
+    # original indices ride the rescore operand as f32 (packed col 3);
+    # beyond 2^24 rows adjacent indices collapse and results go silently
+    # wrong — fail loudly instead
+    assert m < 2**24, (
+        f"hierarchical NN packs target indices as f32: {m} rows exceeds "
+        "the exactly-representable 2^24 range (use the dense kernel)"
+    )
     perm = morton_permutation(points, mask)
     sorted_points = points[perm]
     sorted_mask = mask[perm]
@@ -338,6 +345,12 @@ def nearest_neighbors_hier(
         return idx, dist, jnp.asarray(True)
 
     idx, dist, used_sparse = jax.lax.cond(overflow, dense, rescore, None)
+    # no-match contract: both arms normalize to the jnp oracle's
+    # (idx=0, dist=BIG) in their wrappers; re-assert it here so the
+    # contract holds even if a future kernel change regresses it —
+    # downstream index arithmetic (e.g. the sharded global-index
+    # offset) relies on idx staying in range
+    idx = jnp.where(dist >= jnp.float32(BIG), 0, idx)
     return idx, dist, HierState(
         prev_dist=dist,
         prev_pos=transformed,

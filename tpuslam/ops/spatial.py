@@ -1,13 +1,13 @@
-"""Spatial sorting and tile culling for the sparse NN fast path.
+"""Spatial sorting and tile bounds — the substrate of the hierarchical
+exact NN (``tpuslam.ops.nn_hier``).
 
-The dense NN kernel scans every (source tile x target tile) pair — O(N M)
-distance work.  Sorting both clouds along a Morton (Z-order) curve makes
-index-contiguous tiles spatially compact, so per-tile bounding spheres
-give a branch-and-bound guarantee: for source tile i with upper bound
-``ub_i = min_j (|c_i - c_j| + r_i + r_j)^2`` on its worst NN distance,
-every tile that can contain a nearest neighbor satisfies
-``lb(i,j) = max(0, |c_i - c_j| - r_i - r_j)^2 <= ub_i``.  Only those
-candidate tiles are evaluated — typically a handful out of hundreds.
+Sorting a cloud along a Morton (Z-order) curve makes index-contiguous
+tiles spatially compact, so each run of ``g`` sorted rows gets a tight
+bounding sphere.  ``nn_hier`` builds its per-source admissibility bounds
+from these tiles (MXU center distances + radii); the admissibility test
+itself lives there — per-source, not per-source-tile, because Morton
+runs that cross a high-bit octant boundary span half the cloud and one
+such *source* group would admit every target tile.
 
 Crucial invariant: rigid transforms preserve distances, so a cloud sorted
 ONCE by its initial Morton order keeps its tiles compact through every
@@ -15,17 +15,14 @@ ICP iteration — no re-sorting in the loop (the bounds are recomputed from
 the transformed points each iteration; that is O(N), not O(N M)).
 
 This has no counterpart in the reference (its CUDA kernel is a dense
-serial scan, ``cudacommon.cu:57-77``); it is a TPU-side algorithmic
-improvement that preserves exact results: candidate sets provably contain
-the true nearest neighbor, and the kernel's (distance, original-index)
-lexicographic combine reproduces the reference's first-index tie-break.
+serial scan, ``cudacommon.cu:57-77``); it is part of a TPU-side
+algorithmic improvement that preserves exact results.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 IMAX = 2**31 - 1
@@ -97,88 +94,3 @@ def tile_bounds(
         0.0,
     )
     return TileBounds(centers=center, radii=radius)
-
-
-def _tile_pair_lb(
-    src_bounds: TileBounds, tgt_bounds: TileBounds
-) -> jnp.ndarray:
-    """f32[T_s, T_t] lower bound on the squared distance between any
-    point of source tile i and any point of target tile j (bounding
-    spheres), deflated by an f32-safety factor so rounding can never make
-    the bound optimistic."""
-    dc = jnp.linalg.norm(
-        src_bounds.centers[:, None, :] - tgt_bounds.centers[None, :, :],
-        axis=-1,
-    )  # [T_s, T_t]
-    rsum = src_bounds.radii[:, None] + tgt_bounds.radii[None, :]
-    lb = jnp.maximum(dc - rsum, 0.0) ** 2
-    return lb * jnp.float32(1.0 - 1e-5)
-
-
-def _compact_admissible(
-    lb: jnp.ndarray,
-    admissible: jnp.ndarray,
-    src_valid: jnp.ndarray,
-    max_candidates: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Shared tail of candidate selection: per-row top-``max_candidates``
-    admissible tiles ordered by ``lb`` (padded with -1), plus the
-    all-rows overflow flag (invalid source rows never count)."""
-    counts = jnp.where(src_valid, jnp.sum(admissible, axis=1), 0)
-    overflowed = jnp.any(counts > max_candidates)
-    order_key = jnp.where(admissible, lb, jnp.float32(3.4e38))
-    idx_sorted = jnp.argsort(order_key, axis=1)[:, :max_candidates]
-    take_valid = (
-        jnp.sort(order_key, axis=1)[:, :max_candidates] < 3.4e38
-    )
-    candidates = jnp.where(take_valid, idx_sorted, -1).astype(jnp.int32)
-    return candidates, overflowed
-
-
-def select_candidates(
-    src_bounds: TileBounds,
-    tgt_bounds: TileBounds,
-    max_candidates: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """For each source tile, the target tiles that may contain a nearest
-    neighbor, padded to ``max_candidates`` with -1.
-
-    Returns (candidates i32[T_s, L], overflowed bool[] — True if any tile
-    had more admissible candidates than L, in which case the caller must
-    fall back to the dense scan to stay exact)."""
-    lb = _tile_pair_lb(src_bounds, tgt_bounds)
-    dc = jnp.linalg.norm(
-        src_bounds.centers[:, None, :] - tgt_bounds.centers[None, :, :],
-        axis=-1,
-    )
-    rsum = src_bounds.radii[:, None] + tgt_bounds.radii[None, :]
-    ub = (dc + rsum) ** 2
-    ub_best = jnp.min(ub, axis=1, keepdims=True)  # [T_s, 1]
-    admissible = lb <= ub_best
-    # Fully-padded source tiles carry the sentinel far center (1e15); in
-    # f32 their distances to every target tile round identically, making
-    # every tile "admissible".  Their outputs are masked anyway, so they
-    # must not trip the overflow fallback to the dense scan.
-    src_valid = src_bounds.centers[:, 0] < jnp.float32(1e14)
-    return _compact_admissible(lb, admissible, src_valid, max_candidates)
-
-
-def select_candidates_warm(
-    src_bounds: TileBounds,
-    tgt_bounds: TileBounds,
-    ub_tile: jnp.ndarray,
-    max_candidates: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Warm-started candidate selection: ``ub_tile`` f32[T_s] is a proven
-    upper bound on the worst NN squared distance of any valid source in
-    each tile (e.g. from the previous ICP iteration's exact NN distances
-    inflated by the per-point displacement).  Admits every target tile
-    whose bounding-sphere lower bound can beat it — a far tighter test
-    than the geometric ``(dc + rsum)^2`` upper bound when the transform
-    step is small.  Exact: the true NN tile of every source satisfies
-    ``lb <= d_true <= ub_tile``.  No reference counterpart (the CUDA
-    kernel is a dense serial scan, ``cudacommon.cu:57-77``)."""
-    lb = _tile_pair_lb(src_bounds, tgt_bounds)
-    admissible = lb <= ub_tile[:, None]
-    src_valid = src_bounds.centers[:, 0] < jnp.float32(1e14)
-    return _compact_admissible(lb, admissible, src_valid, max_candidates)

@@ -65,6 +65,10 @@ def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
                     interpret=interpret,
                 )
                 dl = jnp.where(dl >= BIG, BIG, dl)
+                # no-match rows arrive as (idx=0, dist=BIG) per the NN
+                # contract, so `gl` stays in [offset, offset+shard);
+                # a BIG distance can only win the pmin when every shard
+                # reports BIG, and then w=0 masks the pair downstream
                 gl = il + offset
                 dmin = jax.lax.pmin(dl, POINTS_AXIS)
                 cand = jnp.where(dl == dmin, gl, IMAX)

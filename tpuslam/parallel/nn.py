@@ -35,7 +35,7 @@ def sharded_nn_combine(
     block; ``tgt_count``: replicated global valid count.  Returns replicated
     (global_index i32[N], sq_distance f32[N], matched_points f32[N,3]).
     """
-    from tpuslam.ops.nn import _chunk_nn
+    from tpuslam.ops.nn import chunked_nn
 
     shard_size = tgt_shard.shape[0]
     offset = jax.lax.axis_index(axis) * shard_size
@@ -43,8 +43,10 @@ def sharded_nn_combine(
     invalid = local_gidx >= tgt_count
 
     # the shared exact-FMA distance/argmin block — the formulation IS the
-    # cross-path contract (see tpuslam.ops.nn / kernels.pallas_nn)
-    il, dl = _chunk_nn(src, tgt_shard, invalid)
+    # cross-path contract (see tpuslam.ops.nn / kernels.pallas_nn);
+    # chunked over source rows like the single-device oracle so the
+    # per-device live tile is (chunk, M/d), not (N, M/d)
+    il, dl = chunked_nn(src, tgt_shard, invalid)
     dl = jnp.where(dl >= BIG, BIG, dl)
     gl = il + offset
 
