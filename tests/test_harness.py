@@ -284,3 +284,11 @@ def test_verbose_iteration_telemetry(capfd):
     jax.effects_barrier()
     out = capfd.readouterr()
     assert "loop_nr" in out.out or "loop_nr" in out.err
+
+
+def test_cli_unknown_method_friendly_error(capsys):
+    from tpuslam.harness.cli import run_test_set_cli
+
+    rc = run_test_set_cli(["sizes", "--methods", "icp,nipc"])
+    assert rc == 1
+    assert "Unknown method" in capsys.readouterr().out

@@ -242,3 +242,26 @@ def test_chunked_matches_unchunked_spatial(rng):
     np.testing.assert_array_equal(
         np.asarray(parts.error), np.asarray(whole.error)
     )
+
+
+def test_non_finite_error_reverts_to_last_accepted(rng):
+    """A numeric blowup (NaN coordinate) must stop the loop AND revert
+    to the last accepted transform instead of committing the NaN step
+    (r2 review: pick() previously guarded only no_corr/diverged)."""
+    import numpy as np
+    from tpuslam.core.types import Cloud, pad_cloud
+
+    pts = make_cloud(rng, 100)
+    pts[3] = np.nan
+    before = pad_cloud(pts)
+    after = pad_cloud(make_cloud(rng, 100))
+    res = icp_register(
+        before, after, eps=0.0, max_distance_squared=1e18,
+        max_iterations=5, divergence_guard=False,
+    )
+    assert np.isfinite(np.asarray(res.transform.rotation)).all()
+    assert np.isfinite(float(res.error))
+    np.testing.assert_array_equal(
+        np.asarray(res.transform.rotation), np.eye(3, dtype=np.float32)
+    )
+    assert int(res.iterations) == 0

@@ -90,3 +90,61 @@ def test_face_over_64_corners_keeps_python_parity(tmp_path):
     got = bindings.load_obj(str(p))
     assert got.shape == (100, 3)
     np.testing.assert_array_equal(got, want)
+
+
+def _loads(path):
+    """(native, oracle) results for the same file, by extension."""
+    if str(path).endswith(".obj"):
+        native = bindings.load_obj(str(path))
+        try:
+            oracle = _load_obj_python(str(path))
+        except Exception:
+            oracle = np.zeros((0, 3), dtype=np.float32)
+    else:
+        native = bindings.load_off(str(path))
+        try:
+            oracle = _load_off(str(path))
+        except Exception:
+            oracle = np.zeros((0, 3), dtype=np.float32)
+    return native, oracle
+
+
+@pytest.mark.parametrize(
+    "name,text",
+    [
+        # malformed vertex payload: oracle raises => whole file empty
+        ("bad_vert.obj", "v 1.0 2.0 abc\nv 3 4 5\nf 1 2 1\n"),
+        ("short_vert.obj", "v 1.0 2.0\nv 3 4 5\nv 6 7 8\nf 1 2 3\n"),
+        # face token that int() rejects (float-looking index)
+        ("float_face.obj", "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1.5 2 3\n"),
+        ("alpha_face.obj", "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 abc\n"),
+        # trailing garbage fused to a number: float('1.0abc') raises
+        ("fused_vert.obj", "v 1.0abc 2 3\n"),
+        # marker parity: tab after v / leading space are NOT vertices
+        ("tab_vert.obj", "v\t1 2 3\nv 4 5 6\n"),
+        ("indent_vert.obj", " v 1 2 3\nv 4 5 6\n"),
+        # empty corner parts are skipped like the oracle
+        ("slash_face.obj", "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3 //9\n"),
+        # malformed OFF vertex: oracle raises => empty (NOT partial)
+        ("bad_vert.off", "OFF 3 0 0\n0 0 0\n1 x 1\n2 2 2\n"),
+        ("short_vert.off", "OFF 2 0 0\n0 0\n1 1 1\n"),
+        # counts line consumed whole: extra tokens are counts, not coords
+        ("extra_counts.off", "OFF\n3 0 0 99\n0 0 0\n1 1 1\n2 2 2\n"),
+        # non-integer count: oracle raises => empty
+        ("bad_count.off", "OFF 3.0 0 0\n0 0 0\n1 1 1\n2 2 2\n"),
+        # EOF mid-list: oracle keeps the partial prefix
+        ("partial.off", "OFF 5 0 0\n0 0 0\n1 1 1\n"),
+        # inline comments after coordinates
+        ("comments.off", "OFF 2 0 0\n0 0 0 # a\n1 1 1 # b\n"),
+    ],
+)
+def test_malformed_file_parity(tmp_path, name, text):
+    """The native parser must be observably identical to the Python
+    oracle on malformed input: reject-the-whole-file where the oracle
+    raises, partial where the oracle returns a prefix — never silently
+    shifted or truncated geometry (r2 review findings)."""
+    p = tmp_path / name
+    p.write_text(text)
+    native, oracle = _loads(p)
+    assert native.shape == oracle.shape, (name, native.shape, oracle.shape)
+    np.testing.assert_array_equal(native, oracle)

@@ -121,3 +121,25 @@ def test_explicit_transform_applied(tmp_path):
     np.testing.assert_allclose(
         np.sort(before, axis=0), np.sort(shifted, axis=0), atol=1e-5
     )
+
+
+def test_empty_cloud_skips_synthesis_stages():
+    """A failed load yields (0,3) clouds; spread/noise/outlier stages
+    must be skipped instead of crashing on empty reductions (r2 review:
+    numpy raised 'zero-size array to reduction operation' before the
+    CLI's empty-cloud check could run)."""
+    from tpuslam.config.configuration import Configuration
+    from tpuslam.data.synthesis import get_clouds_from_config
+
+    config = Configuration()
+    config.before_path = "/nonexistent/void.obj"
+    config.after_path = "/nonexistent/void.obj"
+    config.random_seed = 7
+    config.cloud_spread = 10.0
+    config.noise_affected_points_before = 0.5
+    config.noise_intensity_before = 0.1
+    config.additional_outliers_before = 10
+    config.transformation_parameters = (0.2, 10.0)
+    before, after, (rot, t) = get_clouds_from_config(config)
+    assert before.shape == (0, 3) and after.shape == (0, 3)
+    assert rot.shape == (3, 3) and t.shape == (3,)

@@ -31,6 +31,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from tpuslam.core.device import prime_device as _prime_device
 from tpuslam.core.types import Cloud, RigidTransform
 from tpuslam.ops.nn import nearest_neighbors
 from tpuslam.ops.procrustes import weighted_procrustes
@@ -203,19 +204,23 @@ def icp_register(
             jnp.asarray(divergence_guard), err > s.prev_error
         )
 
-        # zero correspondences or divergence: stop, reverting to the
-        # pre-iteration transform — exactly the reference's rollback to
-        # the previous accepted state (icpcuda.cu:43-49), since the
-        # carried (rotation, translation) IS the last accepted transform
-        def pick(cur, new):
-            return jnp.where(
-                jnp.logical_or(no_corr, diverged), cur, new
-            )
-
         # fail fast on non-finite error (SURVEY §5.3): with
         # max_iterations=-1 a NaN would otherwise never satisfy any stop
         # condition and the loop would spin forever
         non_finite = jnp.logical_not(jnp.isfinite(err))
+
+        # zero correspondences, divergence, or a numeric blowup: stop,
+        # reverting to the pre-iteration transform — exactly the
+        # reference's rollback to the previous accepted state
+        # (icpcuda.cu:43-49), since the carried (rotation, translation)
+        # IS the last accepted transform.  Without the non_finite guard
+        # a NaN step would be committed into the result.
+        def pick(cur, new):
+            return jnp.where(
+                jnp.logical_or(jnp.logical_or(no_corr, diverged),
+                               non_finite),
+                cur, new,
+            )
 
         rotation = pick(s.rotation, r_new)
         translation = pick(s.translation, t_new)
@@ -299,19 +304,6 @@ def icp_register(
     )
 
 
-_device_primed = False
-
-
-def _prime_device() -> None:
-    """One tiny dispatch before the first big one: a fresh relayed TPU
-    worker has been observed (reproducibly, 5/5) to crash when its very
-    FIRST dispatch is a large multi-second program; any prior dispatch
-    avoids it.  No-op off-TPU and after the first call."""
-    global _device_primed
-    if _device_primed or jax.default_backend() != "tpu":
-        return
-    float(jnp.sum(jnp.ones((8, 128), jnp.float32)))
-    _device_primed = True
 
 
 def icp_register_chunked(

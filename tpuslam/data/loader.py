@@ -60,7 +60,6 @@ def _load_obj_python(path: str) -> np.ndarray:
 def _load_off(path: str) -> np.ndarray:
     """Parse OFF: the raw vertex list (Assimp does not duplicate here)."""
     with open(path, "r", errors="replace") as fh:
-        tokens: list[str] = []
         header = fh.readline().strip()
         if not header.startswith("OFF"):
             return np.zeros((0, 3), dtype=np.float32)
@@ -90,7 +89,6 @@ def _load_off(path: str) -> np.ndarray:
             filled += 1
         if filled < nv:
             return out[:filled]
-        del tokens
         return out
 
 

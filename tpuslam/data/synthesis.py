@@ -170,9 +170,32 @@ def get_clouds_from_config(
     )
     rng = np.random.Generator(np.random.PCG64(seed))
 
+    def resolve_ground_truth():
+        if config.transformation is not None:
+            rotation, translation = config.transformation
+            return (
+                np.asarray(rotation, dtype=np.float32),
+                np.asarray(translation, dtype=np.float32),
+            )
+        if config.transformation_parameters is not None:
+            rotation_val, translation_val = config.transformation_parameters
+            return (
+                get_random_rotation_matrix(rng, rotation_val),
+                get_random_translation_vector(rng, translation_val),
+            )
+        raise ValueError("Wrong configuration: no transformation provided")
+
     same = config.before_path == config.after_path
     before = load_cloud(config.before_path)
     after = before.copy() if same else load_cloud(config.after_path)
+
+    if len(before) == 0 or len(after) == 0:
+        # a failed load yields a (0, 3) cloud; every stage below reduces
+        # over points and would crash on it — skip straight to the
+        # ground-truth resolution so the CLI's empty-cloud check
+        # (harness/cli.py) can report gracefully
+        rotation, translation = resolve_ground_truth()
+        return before, after, (rotation, translation)
 
     if config.cloud_before_resize is not None:
         before = get_subcloud(rng, before, int(config.cloud_before_resize))
@@ -200,16 +223,6 @@ def get_clouds_from_config(
     before = add_outliers(rng, before, config.additional_outliers_before)
     after = add_outliers(rng, after, config.additional_outliers_after)
 
-    if config.transformation is not None:
-        rotation, translation = config.transformation
-        rotation = np.asarray(rotation, dtype=np.float32)
-        translation = np.asarray(translation, dtype=np.float32)
-    elif config.transformation_parameters is not None:
-        rotation_val, translation_val = config.transformation_parameters
-        rotation = get_random_rotation_matrix(rng, rotation_val)
-        translation = get_random_translation_vector(rng, translation_val)
-    else:
-        raise ValueError("Wrong configuration: no transformation provided")
-
+    rotation, translation = resolve_ground_truth()
     after = transform_cloud(after, rotation, translation)
     return before, after, (rotation, translation)

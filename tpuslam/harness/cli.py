@@ -88,10 +88,17 @@ def run_test_set_cli(args: List[str]) -> int:
     while rest:
         flag = rest.pop(0)
         if flag == "--methods" and rest:
-            methods = [
-                ComputationMethod(m.strip())
-                for m in rest.pop(0).split(",")
-            ]
+            try:
+                methods = [
+                    ComputationMethod(m.strip())
+                    for m in rest.pop(0).split(",")
+                ]
+            except ValueError as exc:
+                print(
+                    f"Unknown method ({exc}); one of "
+                    f"{[m.value for m in ComputationMethod]}"
+                )
+                return 1
         elif flag == "--out" and rest:
             out_dir = rest.pop(0)
         elif flag == "--warmup":

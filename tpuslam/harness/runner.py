@@ -76,14 +76,12 @@ class TestRunner:
         self.tests.append(configuration)
 
     def run_all(self) -> None:
-        # prime the device with one trivial dispatch before the first
-        # real test: on relayed TPU backends a fresh worker process has
-        # been observed to crash when its very first dispatch is a large
-        # program (reproduced deterministically at ~1M-point ICP; any
-        # prior dispatch, however small, avoids it)
-        import jax.numpy as jnp
+        # prime the device before the first real test (a fresh relayed
+        # TPU worker can crash when its very first dispatch is a large
+        # program — see tpuslam.core.device)
+        from tpuslam.core.device import prime_device
 
-        float(jnp.sum(jnp.ones((8, 128), jnp.float32)))
+        prime_device()
 
         self.current_test_index = self.start_index
         pending, self.tests = self.tests, []

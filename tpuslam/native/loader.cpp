@@ -44,9 +44,11 @@ std::string slurp(const char *path) {
   return buf;
 }
 
-inline const char *skip_ws(const char *p, const char *end) {
-  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
-  return p;
+inline bool is_ws(char c) {
+  // Python str.split() whitespace set (the subset that appears in text
+  // files): space, tab, CR, LF, vertical tab, form feed
+  return c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\v' ||
+         c == '\f';
 }
 
 inline const char *next_line(const char *p, const char *end) {
@@ -54,44 +56,78 @@ inline const char *next_line(const char *p, const char *end) {
   return p < end ? p + 1 : end;
 }
 
+// whitespace-delimited tokens of [p, end) — one LINE's worth
+void line_tokens(const char *p, const char *end,
+                 std::vector<std::pair<const char *, const char *>> *toks) {
+  toks->clear();
+  while (p < end) {
+    while (p < end && is_ws(*p)) ++p;
+    if (p >= end) break;
+    const char *start = p;
+    while (p < end && !is_ws(*p)) ++p;
+    toks->emplace_back(start, p);
+  }
+}
+
+// full-token float: like Python float(tok) — the ENTIRE token must
+// parse, or the file is rejected (the oracle raises ValueError there)
+bool parse_float_exact(const char *b, const char *e, float *v) {
+  std::string tok(b, e);  // strtof needs NUL termination
+  char *after = nullptr;
+  *v = std::strtof(tok.c_str(), &after);
+  return after == tok.c_str() + tok.size() && !tok.empty();
+}
+
+bool parse_long_exact(const char *b, const char *e, long *v) {
+  std::string tok(b, e);
+  char *after = nullptr;
+  *v = std::strtol(tok.c_str(), &after, 10);
+  return after == tok.c_str() + tok.size() && !tok.empty();
+}
+
+// Parity contract: this parser must be observably identical to the
+// Python oracle (tpuslam/data/loader.py::_load_obj_python).  In
+// particular a malformed `v`/`f` payload token REJECTS THE WHOLE FILE
+// (the oracle's float()/int() raise and load_cloud returns an empty
+// cloud) — silently skipping a vertex would shift every later face
+// index and return plausible-looking wrong geometry.  Marker detection
+// is also oracle-exact: only lines starting with exactly "v " / "f "
+// count (no leading whitespace, no tab after the marker).
 long load_obj_points(const std::string &text, std::vector<float> *out) {
   std::vector<float> verts;  // xyz triples
   std::vector<long> corners;
+  std::vector<std::pair<const char *, const char *>> toks;
   const char *p = text.data();
   const char *end = p + text.size();
   while (p < end) {
-    p = skip_ws(p, end);
-    if (p + 1 < end && p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
-      const char *q = p + 2;
+    const char *eol = p;
+    while (eol < end && *eol != '\n') ++eol;
+    if (eol - p >= 2 && p[0] == 'v' && p[1] == ' ') {
+      line_tokens(p, eol, &toks);
+      if (toks.size() < 4) return -1;  // oracle: IndexError => empty
       float xyz[3];
-      bool ok = true;
-      for (int i = 0; i < 3; ++i) {
-        char *after = nullptr;
-        xyz[i] = std::strtof(q, &after);
-        if (after == q) { ok = false; break; }
-        q = after;
-      }
-      if (ok) {
-        verts.push_back(xyz[0]);
-        verts.push_back(xyz[1]);
-        verts.push_back(xyz[2]);
-      }
-    } else if (p < end && p[0] == 'f' &&
-               (p + 1 == end || p[1] == ' ' || p[1] == '\t')) {
-      const char *q = p + 1;
+      for (int i = 0; i < 3; ++i)
+        if (!parse_float_exact(toks[i + 1].first, toks[i + 1].second,
+                               &xyz[i]))
+          return -1;  // oracle: ValueError => empty
+      verts.push_back(xyz[0]);
+      verts.push_back(xyz[1]);
+      verts.push_back(xyz[2]);
+    } else if (eol - p >= 2 && p[0] == 'f' && p[1] == ' ') {
+      line_tokens(p, eol, &toks);
       std::vector<long> face;
       const long nverts = static_cast<long>(verts.size() / 3);
-      while (true) {
-        q = skip_ws(q, end);
-        if (q >= end || *q == '\n' || *q == '#') break;
-        char *after = nullptr;
-        long idx = std::strtol(q, &after, 10);
-        if (after == q) break;  // not a number: stop parsing this face
-        q = after;
-        // skip the /vt/vn part of the corner token
-        while (q < end && *q != ' ' && *q != '\t' && *q != '\n' &&
-               *q != '\r')
-          ++q;
+      for (size_t t = 1; t < toks.size(); ++t) {
+        // "v", "v/vt", "v/vt/vn", "v//vn": the part before the first
+        // '/'; an empty part (e.g. "//5") is skipped like the oracle's
+        // `if not s: continue`
+        const char *b = toks[t].first;
+        const char *e = toks[t].second;
+        const char *slash = b;
+        while (slash < e && *slash != '/') ++slash;
+        if (slash == b) continue;
+        long idx;
+        if (!parse_long_exact(b, slash, &idx)) return -1;  // int() raises
         face.push_back(idx > 0 ? idx - 1 : nverts + idx);
       }
       if (face.size() >= 3)
@@ -107,7 +143,7 @@ long load_obj_points(const std::string &text, std::vector<float> *out) {
   }
   out->reserve(corners.size() * 3);
   for (long c : corners) {
-    if (c < 0 || c >= nverts) return 0;  // corrupt index: empty cloud
+    if (c < 0 || c >= nverts) return -1;  // oracle: IndexError => empty
     out->push_back(verts[3 * c]);
     out->push_back(verts[3 * c + 1]);
     out->push_back(verts[3 * c + 2]);
@@ -115,54 +151,84 @@ long load_obj_points(const std::string &text, std::vector<float> *out) {
   return static_cast<long>(corners.size());
 }
 
+// strip an inline `#` comment: shrink [b, e) to the part before '#'
+inline void strip_comment(const char *b, const char **e) {
+  const char *q = b;
+  while (q < *e && *q != '#') ++q;
+  *e = q;
+}
+
+// Parity contract: observably identical to the Python oracle
+// (tpuslam/data/loader.py::_load_off) — header line stripped then
+// checked for the "OFF" prefix; count lines consumed token-by-token as
+// full integers; vertex lines need three full-float leading tokens; a
+// malformed count or vertex token rejects the WHOLE file (the oracle
+// raises), while plain EOF mid-list returns the partial prefix.
 long load_off_points(const std::string &text, std::vector<float> *out) {
+  std::vector<std::pair<const char *, const char *>> toks;
   const char *p = text.data();
   const char *end = p + text.size();
-  p = skip_ws(p, end);
-  if (end - p < 3 || std::strncmp(p, "OFF", 3) != 0) return 0;
-  p += 3;
-  long counts[3];
-  int have = 0;
-  while (have < 3 && p < end) {
-    p = skip_ws(p, end);
-    if (p >= end) break;
-    if (*p == '\n' || *p == '#') {
-      p = next_line(p, end);
-      continue;
-    }
-    char *after = nullptr;
-    long v = std::strtol(p, &after, 10);
-    if (after == p) return 0;
-    counts[have++] = v;
-    p = after;
+
+  // header: first line, stripped, must start with "OFF"; the remainder
+  // of that line already carries count tokens ("OFF 8 6 12")
+  const char *eol = p;
+  while (eol < end && *eol != '\n') ++eol;
+  const char *h = p;
+  const char *he = eol;
+  while (h < he && is_ws(*h)) ++h;
+  while (he > h && is_ws(he[-1])) --he;
+  if (he - h < 3 || std::strncmp(h, "OFF", 3) != 0) return 0;
+  std::vector<long> counts;
+  line_tokens(h + 3, he, &toks);
+  for (auto &t : toks) {
+    long v;
+    if (!parse_long_exact(t.first, t.second, &v)) return -1;
+    counts.push_back(v);
   }
-  if (have < 3 || counts[0] <= 0) return 0;
+  p = next_line(p, end);
+
+  // count lines: every token of a consumed line must be an integer
+  while (counts.size() < 3) {
+    if (p >= end) return 0;  // oracle: EOF here => empty cloud
+    eol = p;
+    while (eol < end && *eol != '\n') ++eol;
+    const char *ce = eol;
+    strip_comment(p, &ce);
+    line_tokens(p, ce, &toks);
+    p = next_line(p, end);
+    for (auto &t : toks) {
+      long v;
+      if (!parse_long_exact(t.first, t.second, &v)) return -1;
+      counts.push_back(v);
+    }
+  }
   const long nv = counts[0];
+  if (nv <= 0) return 0;
   // Bound nv by what the remaining text could possibly hold (each vertex
   // needs at least 6 bytes: three numbers + separators + newline), so a
   // corrupt header like `OFF 99999999999 0 0` cannot drive reserve() into
-  // std::bad_alloc across the C ABI (parse failure must yield 0 points).
+  // std::bad_alloc across the C ABI (the oracle's np.empty would raise
+  // MemoryError and load_cloud returns an empty cloud).
   if (nv > static_cast<long>(end - p)) return 0;
   out->reserve(static_cast<size_t>(nv) * 3);
   long filled = 0;
-  while (filled < nv && p < end) {
-    p = skip_ws(p, end);
-    if (p >= end) break;
-    if (*p == '\n' || *p == '#') {
-      p = next_line(p, end);
-      continue;
-    }
-    bool ok = true;
-    for (int i = 0; i < 3; ++i) {
-      char *after = nullptr;
-      float v = std::strtof(p, &after);
-      if (after == p) { ok = false; break; }
-      out->push_back(v);
-      p = after;
-    }
-    if (!ok) break;
-    ++filled;
+  while (filled < nv) {
+    if (p >= end) break;  // oracle: EOF => partial prefix
+    eol = p;
+    while (eol < end && *eol != '\n') ++eol;
+    const char *ce = eol;
+    strip_comment(p, &ce);
+    line_tokens(p, ce, &toks);
     p = next_line(p, end);
+    if (toks.empty()) continue;  // blank / comment-only line
+    if (toks.size() < 3) return -1;  // oracle: IndexError => empty
+    for (int i = 0; i < 3; ++i) {
+      float v;
+      if (!parse_float_exact(toks[i].first, toks[i].second, &v))
+        return -1;  // oracle: ValueError => empty
+      out->push_back(v);
+    }
+    ++filled;
   }
   out->resize(static_cast<size_t>(filled) * 3);
   return filled;

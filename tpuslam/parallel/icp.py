@@ -121,12 +121,15 @@ def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
             )
             # fail-fast on non-finite error (see algorithms/icp.py): a
             # NaN would otherwise spin the whole mesh forever at
-            # max_iterations=-1
+            # max_iterations=-1; it also reverts to the last accepted
+            # transform so the NaN step is never committed
             non_finite = jnp.logical_not(jnp.isfinite(err))
 
             def pick(cur, new):
                 return jnp.where(
-                    jnp.logical_or(no_corr, diverged), cur, new
+                    jnp.logical_or(jnp.logical_or(no_corr, diverged),
+                                   non_finite),
+                    cur, new,
                 )
 
             done = jnp.logical_or(
