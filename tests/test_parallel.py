@@ -50,6 +50,39 @@ def test_sharded_nn_matches_reference(rng, mesh):
     )
 
 
+def test_sharded_nn_chunked_sources(rng, mesh):
+    """N > the 2048-row source chunk: the per-shard search must take the
+    chunked path (r2 review: the unchunked call materialized an [N, M/d]
+    tile that the single-device oracle deliberately bounds) and still
+    match the oracle exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpuslam.ops.nn import nearest_neighbors_ref
+    from tpuslam.parallel.nn import sharded_nn_combine
+
+    src = (rng.random((4500, 3)) * 10).astype(np.float32)
+    tgt_np = (rng.random((640, 3)) * 10).astype(np.float32)
+    tgt = shard_cloud(tgt_np, mesh)
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda s, t, c: sharded_nn_combine(s, t, c),
+            mesh=mesh,
+            in_specs=(P(), P("points", None), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    gidx, dist, matched = fn(jnp.asarray(src), tgt.points, tgt.count)
+    ref_idx, ref_dist = nearest_neighbors_ref(
+        jnp.asarray(src), tgt.points, tgt.count
+    )
+    np.testing.assert_array_equal(np.asarray(gidx), np.asarray(ref_idx))
+    np.testing.assert_allclose(
+        np.asarray(dist), np.asarray(ref_dist), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_sharded_icp_matches_single_device(rng, mesh):
     from tpuslam.algorithms.icp import icp_register
     from tpuslam.parallel.icp import icp_register_sharded
