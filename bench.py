@@ -38,9 +38,35 @@ REPS = 3
 BASELINE_ITERS_PER_SEC = 10.0  # reference GPU: <100 ms/iter @100k
 
 
+def _wait_for_backend(attempts: int = 4, backoff_s: float = 150.0):
+    """Initialize the JAX backend, retrying on transient relay outages.
+
+    The TPU here is reached through a relay that needs minutes to recover
+    after a worker crash; a fresh worker can also crash if its FIRST
+    dispatch is a large program, so prime with a tiny one (see
+    docs/ROADMAP.md and the verify skill for the measured rules).
+    """
+    import time as _time
+
+    last = None
+    for attempt in range(attempts):
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            float(jnp.sum(jnp.ones((8, 128))))  # tiny priming dispatch
+            return jax
+        except RuntimeError as e:  # backend init / dispatch unavailable
+            last = e
+            if attempt < attempts - 1:
+                _time.sleep(backoff_s)
+    raise last
+
+
 def main() -> None:
-    import jax
     import numpy as np
+
+    jax = _wait_for_backend()
 
     from tpuslam.algorithms.icp import icp_register
     from tpuslam.core.types import pad_cloud
