@@ -192,6 +192,44 @@ def main() -> None:
             / report["cpd_estep_8k_singlepass_ms"], 2
         )
 
+    # --- batched multi-pair registration (BASELINE config 5) -------------
+    # B moderate pairs in ONE jitted program (vmapped ICP over the pair
+    # axis -> 3-D-grid batched Pallas NN) vs the same pairs run solo,
+    # sequentially.  Fixed 20-iteration protocol (eps=0) so both arms do
+    # identical work.
+    if backend == "tpu":
+        from tpuslam.algorithms.batch import icp_register_batch, stack_clouds
+
+        n_pairs, pair_n, pair_iters = 16, 16_384, 20
+        pairs = [make_pair(pair_n) for _ in range(n_pairs)]
+        bb = stack_clouds([np.asarray(b.points) for b, _ in pairs])
+        ba = stack_clouds([np.asarray(a.points) for _, a in pairs])
+
+        def run_batch(i):
+            return icp_register_batch(
+                Cloud(bb.points * (1.0 + 1e-5 * i), bb.count), ba,
+                eps=0.0, max_distance_squared=1e18,
+                max_iterations=pair_iters, divergence_guard=False,
+            )
+
+        dt_batch = timeit(run_batch, reps=3)
+
+        def run_solo(i):
+            out = None
+            for b, a in pairs:
+                out = icp_register(
+                    Cloud(b.points * (1.0 + 1e-5 * i), b.count), a,
+                    eps=0.0, max_distance_squared=1e18,
+                    max_iterations=pair_iters, divergence_guard=False,
+                    use_pallas=True, use_spatial=False,
+                )
+            return out
+
+        dt_solo = timeit(run_solo, reps=3)
+        report["batch_16x16k_pairs_per_sec"] = round(n_pairs / dt_batch, 2)
+        report["batch_16x16k_ms"] = round(dt_batch * 1000, 2)
+        report["batch_vs_solo_speedup"] = round(dt_solo / dt_batch, 2)
+
     # --- large-size rungs from the recorded performance ladder -----------
     perf_csv = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
