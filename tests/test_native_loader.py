@@ -73,10 +73,15 @@ def test_face_free_obj_is_vertex_list(tmp_path):
 
 def test_malformed_off_header_is_empty_not_crash(tmp_path):
     # ADVICE r1: `OFF 99999999999 0 0` used to bad_alloc through the C ABI
-    # and terminate the process; must yield the empty-cloud contract.
+    # and terminate the process.  Both parsers now build rows lazily, so
+    # an absurd header count over a short body yields the partial prefix
+    # actually present (r2 review: the old byte-bound guard rejected
+    # mildly truncated files the oracle parsed).
     p = tmp_path / "bad.off"
     p.write_text("OFF 99999999999 0 0\n1 2 3\n")
-    assert bindings.load_off(str(p)).shape == (0, 3)
+    got = bindings.load_off(str(p))
+    np.testing.assert_array_equal(got, _load_off(str(p)))
+    assert got.shape == (1, 3)
 
 
 def test_face_over_64_corners_keeps_python_parity(tmp_path):
@@ -136,6 +141,36 @@ def _loads(path):
         ("partial.off", "OFF 5 0 0\n0 0 0\n1 1 1\n"),
         # inline comments after coordinates
         ("comments.off", "OFF 2 0 0\n0 0 0 # a\n1 1 1 # b\n"),
+        # truncated file under a big-but-plausible header: partial prefix
+        # (the old nv-vs-remaining-bytes guard wrongly emptied these)
+        (
+            "trunc_big.off",
+            "OFF 1000 0 0\n" + "".join(f"{i} 0 0\n" for i in range(100)),
+        ),
+        # Python float() grammar, not strtof's: C99 hex floats rejected
+        ("hex_vert.obj", "v 0x1p3 2 3\n"),
+        ("hex_off.off", "OFF 1 0 0\n0x10 0 0\n"),
+        # ...strtof's nan(payload) form rejected
+        ("nan_payload.obj", "v nan(123) 2 3\n"),
+        # ...but inf/nan spellings both accept
+        ("inf_vert.obj", "v inf -Infinity nan\nf 1 1 1\n"),
+        # ...PEP-515 underscores accepted (float('1_0') == 10.0)
+        ("underscore_vert.obj", "v 1_0 2.5_5 3e1_0\n"),
+        ("underscore_count.off", "OFF 1_0 0 0\n0 0 0\n1 1 1\n"),
+        # ...and misplaced underscores rejected like float()/int()
+        ("double_underscore.obj", "v 1__0 2 3\n"),
+        ("lead_underscore.obj", "v _1 2 3\n"),
+        ("trail_underscore.obj", "v 1_ 2 3\n"),
+        # doubly-negative face index: numpy gather wraps one extra turn
+        ("wrap_face.obj", "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+                          "v 2 2 2\nf 1 2 -10\n"),
+        # ...but below -nverts the oracle IndexErrors => empty
+        ("toowrap_face.obj", "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+                             "v 2 2 2\nf 1 2 -11\n"),
+        # index beyond long precision: oracle's arbitrary-precision int
+        # IndexErrors, native saturates then bound-checks => both empty
+        ("huge_face.obj",
+         "v 0 0 0\nv 1 0 0\nf 1 2 99999999999999999999999\n"),
     ],
 )
 def test_malformed_file_parity(tmp_path, name, text):

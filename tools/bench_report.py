@@ -257,7 +257,9 @@ def main() -> None:
                 if int(r[1]) >= 1_000_000 and int(r[5]) > 0
             )
             if per_iter:
-                med = per_iter[len(per_iter) // 2]
+                import statistics
+
+                med = statistics.median(per_iter)
                 report["icp_iter_1M_plus_median_ms"] = round(med * 1000, 1)
                 report["icp_vs_ref_gpu_10s_per_iter_1M"] = round(
                     10.0 / med, 2

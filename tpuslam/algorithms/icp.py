@@ -63,6 +63,28 @@ class RegistrationResult(NamedTuple):
     nn: Optional["HierState"] = None
 
 
+def resolve_use_spatial(
+    use_spatial: Optional[bool],
+    use_pallas: Optional[bool],
+    target_rows: int,
+    backend: Optional[str] = None,
+) -> bool:
+    """Auto-resolution of the hierarchical-NN default, honoring the
+    other arms' contracts: an explicit ``use_pallas=False`` is a request
+    for the jnp reference NN, and the hier path packs target indices as
+    f32 — exact only below 2^24 rows including the 256-row tile padding
+    (above that the dense kernel handles any size)."""
+    if use_spatial is not None:
+        return use_spatial
+    if backend is None:
+        backend = jax.default_backend()
+    return (
+        backend == "tpu"
+        and use_pallas is not False
+        and target_rows + 256 <= 2**24
+    )
+
+
 class ICPResume(NamedTuple):
     """Warm-start carry for chunked dispatch (``icp_register_chunked``):
     the accepted transform and its error, exactly as the while_loop would
@@ -114,16 +136,17 @@ def icp_register(
     eps = jnp.asarray(eps, dtype=jnp.float32)
     max_d2 = jnp.asarray(max_distance_squared, dtype=jnp.float32)
 
-    if use_spatial is None:
-        # default ON for the TPU single-pair path: the warm-start
-        # admissibility bound (previous iteration's exact NN distance +
-        # per-point displacement) keeps the candidate set tiny once the
-        # per-iteration motion shrinks, and early large-motion iterations
-        # transparently overflow to the dense kernel — measured >=2x ICP
-        # iters/sec at 100k on v5e vs the always-dense scan.  (The purely
-        # geometric bound alone was neutral on uniform clouds; the warm
-        # bound is what makes the sparse path pay.)
-        use_spatial = jax.default_backend() == "tpu"
+    # default ON for the TPU single-pair path: the warm-start
+    # admissibility bound (previous iteration's exact NN distance +
+    # per-point displacement) keeps the candidate set tiny once the
+    # per-iteration motion shrinks, and early large-motion iterations
+    # transparently overflow to the dense kernel — measured >=2x ICP
+    # iters/sec at 100k on v5e vs the always-dense scan.  (The purely
+    # geometric bound alone was neutral on uniform clouds; the warm
+    # bound is what makes the sparse path pay.)
+    use_spatial = resolve_use_spatial(
+        use_spatial, use_pallas, after.points.shape[0]
+    )
     if use_spatial:
         from tpuslam.core.types import round_up
         from tpuslam.ops.nn_hier import (

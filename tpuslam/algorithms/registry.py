@@ -45,6 +45,36 @@ def run_with_configuration(
     return get_slam_func(config.computation_method)(before, after, config)
 
 
+def icp_chunk_size(
+    n_max: int, max_iterations: int, backend: str, chunk_env=None
+) -> int:
+    """Iterations per dispatch for chunked ICP (0 = whole loop at once).
+
+    The failure mode this guards against is dispatch DURATION (relayed
+    TPU workers die under multi-minute single XLA programs), so the gate
+    estimates work (points x iterations) rather than size alone: a
+    480k-point 200-iteration run is as long-dispatched as a 1M-point
+    50-iteration one.  An unbounded run (``max_iterations == -1``) is
+    ALWAYS chunked — its total work is unknowable up front, and a run
+    that converges quickly exits after its first short dispatch anyway.
+    """
+    if chunk_env is not None:
+        try:
+            return max(0, int(chunk_env))
+        except ValueError:
+            return 0
+    if backend != "tpu":
+        return 0
+    # size each dispatch at ~512k x 10 point-iterations (~5 s on v5e)
+    per_dispatch = max(1, min(50, (512_000 * 10) // max(n_max, 1)))
+    if max_iterations == -1:
+        return per_dispatch
+    # trigger at the work of 512k points x 50 iterations
+    if n_max * max(max_iterations, 1) >= 512_000 * 50:
+        return per_dispatch
+    return 0
+
+
 @register(ComputationMethod.Icp)
 def _run_icp(
     before: np.ndarray, after: np.ndarray, config: Configuration
@@ -61,28 +91,14 @@ def _run_icp(
     )
     # long dispatches: bound single-dispatch device time by running the
     # loop in warm-started chunks (identical trajectory — see
-    # icp_register_chunked).  The failure mode this guards against is
-    # dispatch DURATION, so the gate estimates work (points x
-    # iterations) rather than size alone: a 480k-point 200-iteration
-    # run is as long-dispatched as a 1M-point 50-iteration one.
+    # icp_register_chunked and icp_chunk_size).
     # TPUSLAM_ICP_CHUNK=0 disables, =N forces N iterations per chunk.
-    n_max = max(before.shape[0], after.shape[0])
-    chunk_env = os.environ.get("TPUSLAM_ICP_CHUNK")
-    if chunk_env is not None:
-        try:
-            chunk = max(0, int(chunk_env))
-        except ValueError:
-            chunk = 0
-    elif jax.default_backend() == "tpu":
-        est_iters = 50 if max_iterations == -1 else max_iterations
-        # trigger at the work of 512k points x 50 iterations; size each
-        # dispatch at ~512k x 10 point-iterations (~5 s on v5e)
-        if n_max * max(est_iters, 1) >= 512_000 * 50:
-            chunk = max(1, min(50, (512_000 * 10) // max(n_max, 1)))
-        else:
-            chunk = 0
-    else:
-        chunk = 0
+    chunk = icp_chunk_size(
+        max(before.shape[0], after.shape[0]),
+        max_iterations,
+        jax.default_backend(),
+        os.environ.get("TPUSLAM_ICP_CHUNK"),
+    )
     common = dict(
         eps=config.convergence_epsilon,
         max_distance_squared=config.max_distance_squared,

@@ -75,9 +75,12 @@ def _load_off(path: str) -> np.ndarray:
                 continue
             counts.extend(int(t) for t in line.split())
         nv = counts[0]
-        out = np.empty((nv, 3), dtype=np.float32)
-        filled = 0
-        while filled < nv:
+        # rows are collected lazily (no nv-sized preallocation): a corrupt
+        # header like "OFF 99999999999 0 0" over a short body must yield
+        # the partial prefix actually present, not an allocation failure —
+        # the native parser (tpuslam/native/loader.cpp) matches this
+        rows: list[tuple[float, float, float]] = []
+        while len(rows) < nv:
             line = fh.readline()
             if not line:
                 break
@@ -85,11 +88,10 @@ def _load_off(path: str) -> np.ndarray:
             if not line:
                 continue
             parts = line.split()
-            out[filled] = (float(parts[0]), float(parts[1]), float(parts[2]))
-            filled += 1
-        if filled < nv:
-            return out[:filled]
-        return out
+            rows.append((float(parts[0]), float(parts[1]), float(parts[2])))
+        if not rows:
+            return np.zeros((0, 3), dtype=np.float32)
+        return np.asarray(rows, dtype=np.float32)
 
 
 # Relative cloud paths (the reference's configs use e.g. "data/bunny.obj")

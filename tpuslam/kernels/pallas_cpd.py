@@ -68,34 +68,7 @@ def _gauss(sub, lanes_T, mult, trunc_flag, log_trunc):
     )
 
 
-def _denom_kernel(sc_ref, ty_ref, xT_ref, denom_ref):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        # init with the uniform-component constant c
-        denom_ref[:] = jnp.full_like(denom_ref, sc_ref[1])
-
-    g = _gauss(ty_ref[:], xT_ref[:], sc_ref[0], sc_ref[2], sc_ref[3])
-    denom_ref[:] += jnp.sum(g, axis=0, keepdims=True)
-
-
-def _moments_kernel(sc_ref, x_ref, tyT_ref, w_ref, acc_ref):
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    g = _gauss(x_ref[:], tyT_ref[:], sc_ref[0], sc_ref[2], sc_ref[3])
-    w = w_ref[:]  # [BN, 4] — target weights, column slices on sublanes
-    rows = [
-        jnp.sum(g * w[:, c:c + 1], axis=0, keepdims=True) for c in range(4)
-    ]
-    acc_ref[:] += jnp.concatenate(rows, axis=0)  # [4, BM]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("truncate", "interpret"))
 def cpd_estep_pallas(
     transformed: jnp.ndarray,
     moving_mask: jnp.ndarray,
@@ -108,88 +81,24 @@ def cpd_estep_pallas(
     interpret: bool = False,
 ) -> Sufficient:
     """Drop-in replacement for ``tpuslam.algorithms.cpd.cpd_estep``
-    (``ComputePMatrix``, ``coherentpointdrift.cpp:167-221``)."""
-    m0 = transformed.shape[0]
-    n0 = target.shape[0]
-    # pad internally to tile multiples (see pallas_nn note); padded rows
-    # get zero mask, and moving pads land on the far sentinel
-    m = round_up(m0, _TILE)
-    n = round_up(n0, _TILE)
-    if m != m0:
-        transformed = jnp.pad(transformed, ((0, m - m0), (0, 0)))
-        moving_mask = jnp.pad(moving_mask, (0, m - m0))
-    if n != n0:
-        target = jnp.pad(target, ((0, n - n0), (0, 0)))
-        target_mask = jnp.pad(target_mask, (0, n - n0))
-    bm = bn = _TILE
+    (``ComputePMatrix``, ``coherentpointdrift.cpp:167-221``).
 
-    # padded moving rows -> far sentinel so their Gaussian is exactly 0
-    ty = jnp.where(moving_mask[:, None] > 0, transformed, SENTINEL)
-    scalars = jnp.stack(
-        [
-            -0.5 / sigma2,
-            constant,
-            trunc_active.astype(jnp.float32),
-            jnp.float32(math.log(truncate)),
-        ]
-    )
-
-    denom = pl.pallas_call(
-        _denom_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n // bn, m // bm),
-            in_specs=[
-                pl.BlockSpec((bm, 3), lambda i, j, *_: (j, 0)),
-                pl.BlockSpec((3, bn), lambda i, j, *_: (0, i)),
-            ],
-            out_specs=pl.BlockSpec((1, bn), lambda i, j, *_: (0, i)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=12 * n * m,
-            bytes_accessed=(n * 3 + m * 3 + n) * 4,
-            transcendentals=n * m,
-        ),
+    Delegates to the batched kernels with B=1 (the grid gains a unit
+    leading dim, which lowers identically), so the solo and vmapped
+    paths can never drift."""
+    out = cpd_estep_pallas_batch(
+        transformed[None],
+        moving_mask[None],
+        target[None],
+        target_mask[None],
+        jnp.reshape(jnp.asarray(sigma2, jnp.float32), (1,)),
+        jnp.reshape(jnp.asarray(constant, jnp.float32), (1,)),
+        jnp.reshape(jnp.asarray(trunc_active), (1,)),
+        truncate=truncate,
         interpret=interpret,
-    )(scalars, ty, target.T).reshape(n)
-
-    pt1 = (1.0 - constant / denom) * target_mask
-    inv_denom = target_mask / denom
-    weights4 = jnp.concatenate(
-        [inv_denom[:, None], target * inv_denom[:, None]], axis=1
-    )  # [N, 4]
-
-    acc = pl.pallas_call(
-        _moments_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(m // bm, n // bn),
-            in_specs=[
-                pl.BlockSpec((bn, 3), lambda j, i, *_: (i, 0)),
-                pl.BlockSpec((3, bm), lambda j, i, *_: (0, j)),
-                pl.BlockSpec((bn, 4), lambda j, i, *_: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((4, bm), lambda j, i, *_: (0, j)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((4, m), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=20 * n * m,
-            bytes_accessed=(n * 7 + m * 7) * 4,
-            transcendentals=n * m,
-        ),
-        interpret=interpret,
-    )(scalars, target, ty.T, weights4)
-
-    p1 = acc[0, :] * moving_mask
-    px = acc[1:4, :].T * moving_mask[:, None]
-    n_valid = jnp.sum(target_mask)
-    err = (
-        -jnp.sum(jnp.log(denom) * target_mask)
-        + 3.0 * n_valid * jnp.log(sigma2) / 2.0
     )
     return Sufficient(
-        p1=p1[:m0], pt1=pt1[:n0], px=px[:m0], error=err
+        p1=out.p1[0], pt1=out.pt1[0], px=out.px[0], error=out.error[0]
     )
 
 
@@ -244,7 +153,7 @@ def _single_kernel(sc_ref, ty_ref, xT_ref, tm_ref, denom_ref, acc_ref):
         acc_ref[k * _CHUNK:(k + 1) * _CHUNK, :] += part
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("truncate", "interpret"))
 def cpd_estep_pallas_single(
     transformed: jnp.ndarray,
     moving_mask: jnp.ndarray,
@@ -330,6 +239,7 @@ def _denom_kernel_batch(sc_ref, ty_ref, xT_ref, denom_ref):
 
     @pl.when(j == 0)
     def _():
+        # init with the uniform-component constant c
         denom_ref[:] = jnp.full_like(denom_ref, sc_ref[b, 1])
 
     g = _gauss(
@@ -349,7 +259,7 @@ def _moments_kernel_batch(sc_ref, x_ref, tyT_ref, w_ref, acc_ref):
     g = _gauss(
         x_ref[0], tyT_ref[0], sc_ref[b, 0], sc_ref[b, 2], sc_ref[b, 3]
     )
-    w = w_ref[0]  # [BN, 4]
+    w = w_ref[0]  # [BN, 4] — target weights, column slices on sublanes
     rows = [
         jnp.sum(g * w[:, c:c + 1], axis=0, keepdims=True) for c in range(4)
     ]

@@ -66,35 +66,6 @@ def _pick_block(n: int, prefer: Tuple[int, ...]) -> int:
     return n
 
 
-def _nn_kernel(srcT_ref, tgt_ref, dist_ref, idx_ref):
-    j = pl.program_id(1)
-    bm = tgt_ref.shape[0]
-    bn = srcT_ref.shape[1]
-
-    @pl.when(j == 0)
-    def _():
-        dist_ref[:] = jnp.full_like(dist_ref, BIG)
-        idx_ref[:] = jnp.zeros_like(idx_ref)
-
-    sT = srcT_ref[:]  # [3, BN] — sources on lanes
-    t = tgt_ref[:]  # [BM, 3] — targets on sublanes
-    # invalid target rows carry the caller's far sentinel, so their d
-    # overflows past any real distance — no per-tile validity select
-    d = (t[:, 0:1] - sT[0:1, :]) ** 2
-    d += (t[:, 1:2] - sT[1:2, :]) ** 2
-    d += (t[:, 2:3] - sT[2:3, :]) ** 2
-
-    tile_min = jnp.min(d, axis=0, keepdims=True)  # [1, BN]
-    # first-occurrence argmin emulated with a row-index min
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
-    masked_rows = jnp.where(d == tile_min, rows, IMAX)
-    tile_arg = jnp.min(masked_rows, axis=0, keepdims=True) + j * bm
-
-    better = tile_min < dist_ref[:]
-    dist_ref[:] = jnp.where(better, tile_min, dist_ref[:])
-    idx_ref[:] = jnp.where(better, tile_arg, idx_ref[:])
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nearest_neighbors_pallas(
     src: jnp.ndarray,
@@ -105,64 +76,18 @@ def nearest_neighbors_pallas(
     """Same contract as ``tpuslam.ops.nn.nearest_neighbors_ref``:
     (i32[N] index of nearest valid target, f32[N] squared distance).
     Any row counts accepted — inputs are padded internally to tile
-    multiples and outputs sliced back to the input length."""
-    n0, m0 = src.shape[0], tgt.shape[0]
-    # pad internally to large-tile multiples: lane-multiple-only shapes
-    # (e.g. 50048) would otherwise fall to 128x128 tiles and a grid with
-    # ~64x more steps; extra target rows sit beyond ``count`` and are
-    # masked, extra source rows are sliced off the outputs
-    n = round_up(n0, _TILE)
-    m = round_up(m0, _TILE)
-    if n != n0:
-        src = jnp.pad(src, ((0, n - n0), (0, 0)))
-    if m != m0:
-        tgt = jnp.pad(tgt, ((0, m - m0), (0, 0)))
-    # n, m are _TILE multiples, so these resolve to 2048/1024-grade tiles
-    # whose product stays within the VMEM budget by construction
-    bn = _pick_block(n, (2048, 1024))
-    bm = _pick_block(m, (1024,))
-    # push invalid rows (>= count, including internal padding) to the far
-    # sentinel once, instead of a validity select in every kernel tile
-    row_invalid = (
-        jnp.arange(m, dtype=jnp.int32) >= jnp.asarray(tgt_count, jnp.int32)
-    )
-    tgt = jnp.where(row_invalid[:, None], SENTINEL, tgt)
+    multiples and outputs sliced back to the input length.
 
-    grid = (n // bn, m // bm)
-    dist, idx = pl.pallas_call(
-        _nn_kernel,
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((3, bn), lambda i, j: (0, i)),
-                pl.BlockSpec((bm, 3), lambda i, j: (j, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, bn), lambda i, j: (0, i)),
-                pl.BlockSpec((1, bn), lambda i, j: (0, i)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=13 * n * m,
-            bytes_accessed=(n * 3 + m * 3 + 2 * n) * 4,
-            transcendentals=0,
-        ),
+    Delegates to the batched kernel with B=1 (the grid gains a unit
+    leading dim, which lowers identically), so the solo and vmapped
+    paths can never drift."""
+    idx, dist = nearest_neighbors_pallas_batch(
+        src[None],
+        tgt[None],
+        jnp.reshape(jnp.asarray(tgt_count, jnp.int32), (1,)),
         interpret=interpret,
-    )(src.T, tgt)
-    # sentinel rows report astronomical "distances" (~3e38, or inf when
-    # the arithmetic saturates — input-dependent); map the whole sentinel
-    # range back to the oracle's exact BIG, and the winning sentinel-row
-    # index back to the oracle's 0, so the no-match contract
-    # (idx=0, dist=BIG) is identical across backends
-    dist = dist.reshape(n)
-    no_match = dist >= _SENTINEL_DIST
-    dist = jnp.where(no_match, BIG, dist)
-    idx = jnp.where(no_match, 0, idx.reshape(n))
-    return idx[:n0], dist[:n0]
+    )
+    return idx[0], dist[0]
 
 
 def _nn_kernel_batch(srcT_ref, tgt_ref, dist_ref, idx_ref):
@@ -175,13 +100,16 @@ def _nn_kernel_batch(srcT_ref, tgt_ref, dist_ref, idx_ref):
         dist_ref[:] = jnp.full_like(dist_ref, BIG)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    sT = srcT_ref[0]  # [3, BN]
-    t = tgt_ref[0]  # [BM, 3]
+    sT = srcT_ref[0]  # [3, BN] — sources on lanes
+    t = tgt_ref[0]  # [BM, 3] — targets on sublanes
+    # invalid target rows carry the caller's far sentinel, so their d
+    # overflows past any real distance — no per-tile validity select
     d = (t[:, 0:1] - sT[0:1, :]) ** 2
     d += (t[:, 1:2] - sT[1:2, :]) ** 2
     d += (t[:, 2:3] - sT[2:3, :]) ** 2
 
-    tile_min = jnp.min(d, axis=0, keepdims=True)
+    tile_min = jnp.min(d, axis=0, keepdims=True)  # [1, BN]
+    # first-occurrence argmin emulated with a row-index min
     rows = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
     masked_rows = jnp.where(d == tile_min, rows, IMAX)
     tile_arg = jnp.min(masked_rows, axis=0, keepdims=True) + j * bm
@@ -201,18 +129,25 @@ def nearest_neighbors_pallas_batch(
     """Batched variant: ``src`` f32[B, N, 3], ``tgt`` f32[B, M, 3],
     ``tgt_count`` i32[B] — one 3-D-grid kernel launch for all B pairs
     (BASELINE's batched multi-pair regime; the reference has no batch
-    notion at all).  Per-pair results are identical to the unbatched
-    kernel's."""
+    notion at all).  The unbatched entry is this kernel at B=1."""
     b, n0 = src.shape[0], src.shape[1]
     m0 = tgt.shape[1]
+    # pad internally to large-tile multiples: lane-multiple-only shapes
+    # (e.g. 50048) would otherwise fall to 128x128 tiles and a grid with
+    # ~64x more steps; extra target rows sit beyond ``count`` and are
+    # masked, extra source rows are sliced off the outputs
     n = round_up(n0, _TILE)
     m = round_up(m0, _TILE)
     if n != n0:
         src = jnp.pad(src, ((0, 0), (0, n - n0), (0, 0)))
     if m != m0:
         tgt = jnp.pad(tgt, ((0, 0), (0, m - m0), (0, 0)))
+    # n, m are _TILE multiples, so these resolve to 2048/1024-grade tiles
+    # whose product stays within the VMEM budget by construction
     bn = _pick_block(n, (2048, 1024))
     bm = _pick_block(m, (1024,))
+    # push invalid rows (>= count, including internal padding) to the far
+    # sentinel once, instead of a validity select in every kernel tile
     row_invalid = (
         jnp.arange(m, dtype=jnp.int32)[None, :]
         >= jnp.asarray(tgt_count, jnp.int32)[:, None]
@@ -244,6 +179,11 @@ def nearest_neighbors_pallas_batch(
         ),
         interpret=interpret,
     )(jnp.swapaxes(src, 1, 2), tgt)
+    # sentinel rows report astronomical "distances" (~3e38, or inf when
+    # the arithmetic saturates — input-dependent); map the whole sentinel
+    # range back to the oracle's exact BIG, and the winning sentinel-row
+    # index back to the oracle's 0, so the no-match contract
+    # (idx=0, dist=BIG) is identical across backends
     dist = dist.reshape(b, n)
     no_match = dist >= _SENTINEL_DIST
     dist = jnp.where(no_match, BIG, dist)

@@ -69,20 +69,94 @@ void line_tokens(const char *p, const char *end,
   }
 }
 
-// full-token float: like Python float(tok) — the ENTIRE token must
-// parse, or the file is rejected (the oracle raises ValueError there)
-bool parse_float_exact(const char *b, const char *e, float *v) {
-  std::string tok(b, e);  // strtof needs NUL termination
-  char *after = nullptr;
-  *v = std::strtof(tok.c_str(), &after);
-  return after == tok.c_str() + tok.size() && !tok.empty();
+inline bool is_digit(char c) { return c >= '0' && c <= '9'; }
+
+// digit run with PEP-515 underscores: digit (('_')? digit)* — each
+// underscore must sit between two digits, exactly like Python's
+// float()/int() literals.  Advances *p past the run; false if the run
+// is empty or an underscore is misplaced.
+bool scan_digits(const char **p, const char *e) {
+  if (*p >= e || !is_digit(**p)) return false;
+  ++*p;
+  while (*p < e) {
+    if (is_digit(**p)) {
+      ++*p;
+    } else if (**p == '_') {
+      if (*p + 1 >= e || !is_digit((*p)[1])) return false;
+      *p += 2;
+    } else {
+      break;
+    }
+  }
+  return true;
 }
 
+inline bool ieq(const char *b, const char *e, const char *lit) {
+  for (; *lit; ++lit, ++b)
+    if (b >= e || (*b | 0x20) != *lit) return false;
+  return b == e;
+}
+
+// full-token float with Python float(tok) acceptance: decimal grammar
+// only (strtof's C99 hex-float extension is rejected), "inf"/
+// "infinity"/"nan" case-insensitively (strtof's "nan(...)" payload
+// form is rejected), PEP-515 underscores accepted.  The ENTIRE token
+// must parse, or the file is rejected (the oracle raises ValueError).
+bool parse_float_exact(const char *b, const char *e, float *v) {
+  const char *p = b;
+  if (p < e && (*p == '+' || *p == '-')) ++p;
+  if (ieq(p, e, "inf") || ieq(p, e, "infinity") || ieq(p, e, "nan")) {
+    std::string tok(b, e);
+    char *after = nullptr;
+    *v = std::strtof(tok.c_str(), &after);
+    return after == tok.c_str() + tok.size();
+  }
+  bool int_digits = false, frac_digits = false;
+  if (p < e && is_digit(*p)) {
+    if (!scan_digits(&p, e)) return false;
+    int_digits = true;
+  }
+  if (p < e && *p == '.') {
+    ++p;
+    if (p < e && is_digit(*p)) {
+      if (!scan_digits(&p, e)) return false;
+      frac_digits = true;
+    }
+  }
+  if (!int_digits && !frac_digits) return false;
+  if (p < e && (*p == 'e' || *p == 'E')) {
+    ++p;
+    if (p < e && (*p == '+' || *p == '-')) ++p;
+    if (!scan_digits(&p, e)) return false;
+  }
+  if (p != e) return false;
+  std::string tok;
+  tok.reserve(static_cast<size_t>(e - b));
+  for (const char *q = b; q < e; ++q)
+    if (*q != '_') tok.push_back(*q);
+  char *after = nullptr;
+  *v = std::strtof(tok.c_str(), &after);
+  return after == tok.c_str() + tok.size();
+}
+
+// full-token integer with Python int(tok) acceptance (base 10,
+// PEP-515 underscores).  Values beyond long's range saturate like
+// strtol; callers bound-check against vertex counts anyway, and the
+// oracle's arbitrary-precision result would fail the same bound.
 bool parse_long_exact(const char *b, const char *e, long *v) {
-  std::string tok(b, e);
+  const char *p = b;
+  if (p < e && (*p == '+' || *p == '-')) ++p;
+  if (!scan_digits(&p, e) || p != e) return false;
+  std::string tok;
+  tok.reserve(static_cast<size_t>(e - b));
+  for (const char *q = b; q < e; ++q)
+    if (*q != '_') tok.push_back(*q);
+  errno = 0;
   char *after = nullptr;
   *v = std::strtol(tok.c_str(), &after, 10);
-  return after == tok.c_str() + tok.size() && !tok.empty();
+  if (errno == ERANGE)  // saturate safely; bound checks reject later
+    *v = (*v > 0) ? (1L << 40) : -(1L << 40);
+  return after == tok.c_str() + tok.size();
 }
 
 // Parity contract: this parser must be observably identical to the
@@ -143,10 +217,14 @@ long load_obj_points(const std::string &text, std::vector<float> *out) {
   }
   out->reserve(corners.size() * 3);
   for (long c : corners) {
-    if (c < 0 || c >= nverts) return -1;  // oracle: IndexError => empty
-    out->push_back(verts[3 * c]);
-    out->push_back(verts[3 * c + 1]);
-    out->push_back(verts[3 * c + 2]);
+    // the oracle gathers with numpy, whose indexing wraps one extra
+    // negative turn: a doubly-relative corner (stored nverts+idx still
+    // < 0) resolves to nverts+c when -nverts <= c, IndexError below that
+    long row = c < 0 ? c + nverts : c;
+    if (row < 0 || row >= nverts) return -1;  // oracle: IndexError => empty
+    out->push_back(verts[3 * row]);
+    out->push_back(verts[3 * row + 1]);
+    out->push_back(verts[3 * row + 2]);
   }
   return static_cast<long>(corners.size());
 }
@@ -204,13 +282,14 @@ long load_off_points(const std::string &text, std::vector<float> *out) {
   }
   const long nv = counts[0];
   if (nv <= 0) return 0;
-  // Bound nv by what the remaining text could possibly hold (each vertex
-  // needs at least 6 bytes: three numbers + separators + newline), so a
-  // corrupt header like `OFF 99999999999 0 0` cannot drive reserve() into
-  // std::bad_alloc across the C ABI (the oracle's np.empty would raise
-  // MemoryError and load_cloud returns an empty cloud).
-  if (nv > static_cast<long>(end - p)) return 0;
-  out->reserve(static_cast<size_t>(nv) * 3);
+  // Reserve lazily, bounded by what the remaining text could possibly
+  // hold (each vertex consumes at least one input byte), so a corrupt
+  // header like `OFF 99999999999 0 0` cannot drive reserve() into
+  // std::bad_alloc across the C ABI; the vector simply grows to the
+  // rows actually present and EOF yields the partial prefix, exactly
+  // like the oracle's lazily-built row list.
+  out->reserve(static_cast<size_t>(
+                   nv < static_cast<long>(end - p) ? nv : end - p) * 3);
   long filled = 0;
   while (filled < nv) {
     if (p >= end) break;  // oracle: EOF => partial prefix

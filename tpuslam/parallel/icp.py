@@ -44,7 +44,7 @@ def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
                 nearest_neighbors_hier,
                 prepare_hier_target,
             )
-            from tpuslam.parallel.nn import BIG, IMAX
+            from tpuslam.parallel.nn import lexmin_combine
 
             shard_size = tgt_shard.shape[0]
             offset = (
@@ -64,19 +64,10 @@ def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
                     transformed, src_mask, htarget, carry,
                     interpret=interpret,
                 )
-                dl = jnp.where(dl >= BIG, BIG, dl)
-                # no-match rows arrive as (idx=0, dist=BIG) per the NN
-                # contract, so `gl` stays in [offset, offset+shard);
-                # a BIG distance can only win the pmin when every shard
-                # reports BIG, and then w=0 masks the pair downstream
-                gl = il + offset
-                dmin = jax.lax.pmin(dl, POINTS_AXIS)
-                cand = jnp.where(dl == dmin, gl, IMAX)
-                gmin = jax.lax.pmin(cand, POINTS_AXIS)
-                win = gmin == gl
-                matched = jax.lax.psum(
-                    jnp.where(win[:, None], tgt_shard[il], 0.0),
-                    POINTS_AXIS,
+                # lex-min tie-break and winner gather are the shared
+                # cross-shard contract (tpuslam.parallel.nn)
+                _, dmin, matched = lexmin_combine(
+                    dl, il, tgt_shard, offset, POINTS_AXIS
                 )
                 return dmin, matched, carry
         else:
