@@ -183,3 +183,48 @@ def test_malformed_file_parity(tmp_path, name, text):
     native, oracle = _loads(p)
     assert native.shape == oracle.shape, (name, native.shape, oracle.shape)
     np.testing.assert_array_equal(native, oracle)
+
+
+def test_float_token_grammar_fuzz_parity(tmp_path):
+    """Every token either parses identically in both loaders or rejects
+    the file in both — sweeping the float()/strtof grammar differences
+    (hex, nan payloads, underscores, signs, exponents, whitespace-free
+    oddities)."""
+    tokens = [
+        "1", "+1", "-1", "1.", ".5", "-.5", "+.5", "1.5", "1e3", "1E3",
+        "1e+3", "1e-3", "1.5e-3", ".5e2", "1.e2", "inf", "-inf", "+inf",
+        "INF", "Infinity", "-INFINITY", "nan", "NaN", "-nan", "+NAN",
+        "1_0", "1_000.000_1", "3e1_0", "1.2_5", "0_1",
+        # rejects (both sides)
+        "", ".", "+", "-", "e3", ".e3", "1e", "1e+", "1x", "x1",
+        "0x10", "0X10", "0x1p3", "-0x1.8p1", "nan(123)", "NAN(chars)",
+        "1__0", "_1", "1_", "1._0", "1_.0", "_", "1e_3", "1e3_",
+        "1.5.5", "1,5", "++1", "--1", "1-", "infinityy", "na", "in",
+        "1d5", "0b101", "0o17", "1j",
+    ]
+    for k, tok in enumerate(tokens):
+        p = tmp_path / f"fz{k}.obj"
+        p.write_text(f"v {tok} 1 2\n")
+        native, oracle = _loads(p)
+        assert native.shape == oracle.shape, (tok, native.shape, oracle.shape)
+        np.testing.assert_array_equal(native, oracle, err_msg=repr(tok))
+
+
+def test_int_token_grammar_fuzz_parity(tmp_path):
+    """Same sweep for int() tokens, via OFF header counts (accepted
+    values change how many vertex rows are consumed) and face indices."""
+    tokens = [
+        "2", "+2", "02", "1_0", "2_",  "_2", "2__2", "2.0", "2e1",
+        "0x2", "abc", "", "-1", "99999999999999999999999",
+    ]
+    for k, tok in enumerate(tokens):
+        p = tmp_path / f"fzi{k}.off"
+        p.write_text(f"OFF {tok} 0 0\n0 0 0\n1 1 1\n2 2 2\n4 4 4\n")
+        native, oracle = _loads(p)
+        assert native.shape == oracle.shape, (tok, native.shape, oracle.shape)
+        np.testing.assert_array_equal(native, oracle, err_msg=repr(tok))
+        f = tmp_path / f"fzf{k}.obj"
+        f.write_text(f"v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 {tok}\n")
+        native, oracle = _loads(f)
+        assert native.shape == oracle.shape, (tok, native.shape, oracle.shape)
+        np.testing.assert_array_equal(native, oracle, err_msg=repr(tok))
