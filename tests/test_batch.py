@@ -90,3 +90,39 @@ def test_stack_clouds_padding(rng):
     stacked = stack_clouds(clouds)
     assert stacked.points.shape == (2, 384, 3)
     assert list(np.asarray(stacked.count)) == [50, 300]
+
+
+def test_register_pairs_library_api(rng):
+    """Top-level tpuslam.register_pairs equals per-pair tpuslam.register
+    for every method (the one-call batched API)."""
+    import numpy as np
+
+    import tpuslam
+    from tests.conftest import make_cloud, random_rigid
+
+    pairs = []
+    for k in range(3):
+        before = make_cloud(rng, 200 + 40 * k)
+        r, t = random_rigid(rng, angle=0.15, trans=0.4)
+        pairs.append((before, (before @ r.T + t).astype(np.float32)))
+    befores = [p[0] for p in pairs]
+    afters = [p[1] for p in pairs]
+
+    for method, kwargs in (
+        (tpuslam.ComputationMethod.Icp, {}),
+        (tpuslam.ComputationMethod.NoniterativeIcp, {}),
+        (tpuslam.ComputationMethod.Cpd, {"max_iterations": 8}),
+    ):
+        rots, ts, iters, errs = tpuslam.register_pairs(
+            befores, afters, computation_method=method, **kwargs
+        )
+        assert rots.shape == (3, 3, 3) and ts.shape == (3, 3)
+        for i, (bf, af) in enumerate(pairs):
+            r1, t1, it1, e1 = tpuslam.register(
+                bf, af, computation_method=method, **kwargs
+            )
+            # batched pairs pad to a COMMON size, solo runs to their
+            # own 128-multiple: different reduction tiling => f32-level
+            # differences only
+            np.testing.assert_allclose(rots[i], r1, atol=1e-4)
+            np.testing.assert_allclose(ts[i], t1, atol=1e-4)

@@ -42,3 +42,77 @@ def register(before, after, config=None, **overrides):
     if overrides:
         config = replace(config, **overrides)
     return run_with_configuration(before, after, config)
+
+
+def register_pairs(befores, afters, config=None, **overrides):
+    """Batched multi-pair registration: sequences of host ``f32[N_i,3]``
+    arrays in, per-pair (rotations f32[B,3,3], translations f32[B,3],
+    iterations i32[B], errors f32[B]) out — B registrations as ONE
+    compiled program whose per-pair work batches onto the same kernels
+    (new scope vs the single-pair reference binary; the production
+    many-scan-pairs regime).
+
+    Same configuration contract as :func:`register`; each pair's result
+    equals its solo :func:`register` run."""
+    import numpy as np
+    from dataclasses import replace
+
+    from tpuslam.algorithms.batch import (
+        cpd_register_batch,
+        icp_register_batch,
+        nicp_register_batch,
+        stack_clouds,
+    )
+
+    if len(befores) != len(afters):
+        raise ValueError(
+            f"pair count mismatch: {len(befores)} befores vs "
+            f"{len(afters)} afters"
+        )
+    if config is None:
+        config = Configuration()
+    if overrides:
+        config = replace(config, **overrides)
+    b, a = stack_clouds(befores), stack_clouds(afters)
+    max_iterations = (
+        int(config.max_iterations) if config.max_iterations is not None
+        else -1
+    )
+    method = config.computation_method
+    if method == ComputationMethod.Icp:
+        res = icp_register_batch(
+            b, a,
+            eps=config.convergence_epsilon,
+            max_distance_squared=config.max_distance_squared,
+            max_iterations=max_iterations,
+        )
+        rotation = np.asarray(res.transform.rotation)
+    elif method == ComputationMethod.NoniterativeIcp:
+        res = nicp_register_batch(
+            b, a,
+            eps=config.convergence_epsilon,
+            approximation_type=config.approximation_type,
+            subcloud_size=config.nicp_subcloud_size,
+            seed=config.random_seed if config.random_seed is not None else 0,
+        )
+        rotation = np.asarray(res.transform.rotation)
+    else:
+        res = cpd_register_batch(
+            b, a,
+            eps=config.convergence_epsilon,
+            weight=config.cpd_weight,
+            const_scale=config.cpd_const_scale,
+            max_iterations=max_iterations,
+            tolerance=config.cpd_tolerance,
+            approximation_type=config.approximation_type,
+        )
+        # the reference returns (scale * R, t) (coherentpointdrift.cpp:123)
+        rotation = np.asarray(res.transform.scale)[:, None, None] * (
+            np.asarray(res.transform.rotation)
+        )
+    return (
+        rotation,
+        np.asarray(res.transform.translation),
+        np.asarray(res.iterations),
+        np.asarray(res.error),
+    )
