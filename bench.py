@@ -38,17 +38,19 @@ REPS = 3
 BASELINE_ITERS_PER_SEC = 10.0  # reference GPU: <100 ms/iter @100k
 
 
-def _wait_for_backend(attempts: int = 4, backoff_s: float = 150.0):
+def _wait_for_backend(attempts: int = 6, backoff_s: float = 180.0):
     """Initialize the JAX backend, retrying on transient relay outages.
 
     The TPU here is reached through a relay that needs minutes to recover
     after a worker crash; a fresh worker can also crash if its FIRST
     dispatch is a large program, so prime with a tiny one (see
     docs/ROADMAP.md and the verify skill for the measured rules).
+    Returns None when the backend stays unreachable — the caller emits a
+    parseable "backend unavailable" line rather than crashing, so an
+    outage is recorded as an outage and never as a silent missing run.
     """
     import time as _time
 
-    last = None
     for attempt in range(attempts):
         try:
             import jax
@@ -57,16 +59,31 @@ def _wait_for_backend(attempts: int = 4, backoff_s: float = 150.0):
             float(jnp.sum(jnp.ones((8, 128))))  # tiny priming dispatch
             return jax
         except RuntimeError as e:  # backend init / dispatch unavailable
-            last = e
+            print(
+                f"# backend attempt {attempt + 1}/{attempts} failed: {e}",
+                file=sys.stderr,
+            )
             if attempt < attempts - 1:
                 _time.sleep(backoff_s)
-    raise last
+    return None
 
 
 def main() -> None:
     import numpy as np
 
     jax = _wait_for_backend()
+    if jax is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "icp_iters_per_sec_100k_backend_unavailable",
+                    "value": 0.0,
+                    "unit": "iter/s",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return
 
     from tpuslam.algorithms.icp import icp_register
     from tpuslam.core.types import pad_cloud
