@@ -182,3 +182,12 @@ def test_cpd_centroid_init_extension_key(tmp_path):
     assert c.cpd_centroid_init is False
     c = parse(tmp_path, {**BASE, "cpd-centroid-init": True}).get_configuration()
     assert c.cpd_centroid_init is True
+
+
+def test_icp_prealign_extension_key(tmp_path):
+    """Extension key: icp-prealign flows parser -> Configuration;
+    defaults false (reference parity: ICP always starts from identity)."""
+    c = parse(tmp_path, BASE).get_configuration()
+    assert c.icp_prealign is False
+    c = parse(tmp_path, {**BASE, "icp-prealign": True}).get_configuration()
+    assert c.icp_prealign is True

@@ -308,3 +308,77 @@ def test_icp_chunk_size_gate():
     # unbounded runs ALWAYS chunk on TPU, regardless of size
     assert icp_chunk_size(2_000, -1, "tpu") == 50
     assert icp_chunk_size(1_000_000, -1, "tpu") == 5
+
+
+def _anisotropic_pair(rng, angle, trans, n=2000, keep=1500):
+    """Clouds with resolvable principal axes, asymmetric subsampling and
+    mild noise — the regime where cold-start ICP's basin is exceeded."""
+    from tpuslam.data.synthesis import (
+        get_random_rotation_matrix,
+        get_random_translation_vector,
+    )
+
+    base = make_cloud(rng, n) * np.array([4.0, 2.0, 1.0], np.float32)
+    r = get_random_rotation_matrix(rng, angle)
+    t = get_random_translation_vector(rng, trans)
+    before = base[rng.permutation(n)[:keep]]
+    after = (
+        base[rng.permutation(n)[:keep]] @ r.T + t
+        + rng.normal(0.0, 0.02, (keep, 3))
+    ).astype(np.float32)
+    return before, after, r, t
+
+
+def test_prealign_rescues_large_motion(rng):
+    # icp-prealign extension: a one-shot NICP seed moves a motion far
+    # outside cold ICP's basin (rotation 2.6 rad, translation 40) into it
+    from tpuslam.algorithms.icp import icp_register_prealigned
+
+    before, after, r_true, t_true = _anisotropic_pair(rng, 2.6, 40.0)
+    kw = dict(eps=1e-5, max_distance_squared=1e9, max_iterations=100)
+    cold = register(before, after, **kw)
+    pre = icp_register_prealigned(pad_cloud(before), pad_cloud(after), **kw)
+    np.testing.assert_allclose(
+        np.asarray(pre.transform.rotation), r_true, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre.transform.translation), t_true, atol=0.5
+    )
+    # the cold start must NOT have recovered the rotation (otherwise this
+    # test stopped exercising the rescue) and the seeded run must beat it
+    assert np.abs(np.asarray(cold.transform.rotation) - r_true).max() > 0.5
+    assert float(pre.error) < 0.5 * float(cold.error)
+
+
+def test_prealign_chunked_matches_unchunked(rng):
+    from tpuslam.algorithms.icp import icp_register_prealigned
+
+    before, after, r_true, _ = _anisotropic_pair(rng, 1.0, 10.0, n=600, keep=500)
+    kw = dict(eps=1e-7, max_distance_squared=1e9, max_iterations=40)
+    whole = icp_register_prealigned(pad_cloud(before), pad_cloud(after), **kw)
+    parts = icp_register_prealigned(
+        pad_cloud(before), pad_cloud(after), chunk=7, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(parts.transform.rotation), np.asarray(whole.transform.rotation)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(parts.transform.translation),
+        np.asarray(whole.transform.translation),
+    )
+    assert int(parts.iterations) == int(whole.iterations)
+    assert float(parts.error) == float(whole.error)
+
+
+def test_prealign_registry_end_to_end(rng):
+    from tpuslam.algorithms.registry import run_with_configuration
+    from tpuslam.config.configuration import Configuration
+
+    before, after, r_true, t_true = _anisotropic_pair(rng, 2.6, 40.0)
+    config = Configuration(
+        max_iterations=100, max_distance_squared=1e9,
+        convergence_epsilon=1e-5, icp_prealign=True,
+    )
+    rot, trans, iters, err = run_with_configuration(before, after, config)
+    np.testing.assert_allclose(rot, r_true, atol=2e-2)
+    np.testing.assert_allclose(trans, t_true, atol=0.5)

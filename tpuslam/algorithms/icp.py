@@ -336,6 +336,7 @@ def icp_register_chunked(
     max_distance_squared: float = 1000.0,
     max_iterations: int = 50,
     chunk: int = 10,
+    resume: Optional[ICPResume] = None,
     **kwargs,
 ) -> RegistrationResult:
     """``icp_register`` dispatched ``chunk`` iterations at a time, the
@@ -354,7 +355,6 @@ def icp_register_chunked(
         raise ValueError(f"chunk must be >= 1, got {chunk}")
     _prime_device()
     total = 0
-    resume = None
     while True:
         if max_iterations == -1:
             k = chunk
@@ -384,3 +384,52 @@ def icp_register_chunked(
         iterations=jnp.int32(total),
         error=result.error,
     )
+
+
+def icp_register_prealigned(
+    before: Cloud,
+    after: Cloud,
+    eps: float = 1e-3,
+    max_distance_squared: float = 1000.0,
+    max_iterations: int = 50,
+    subcloud_size: int = 1000,
+    seed: int = 0,
+    chunk: int = 0,
+    **kwargs,
+) -> RegistrationResult:
+    """ICP seeded by a one-shot NICP estimate (opt-in: ``icp-prealign``).
+
+    No reference counterpart — an extension targeting ICP's known
+    weakness: its basin of attraction shrinks with motion size, and the
+    reference documents its convergence as "low, drops sharply with
+    size" (``documentation.tex:584-591``; our measured grid fails mostly
+    at rotation 0.6 rad / translation 30).  A single NICP principal-axes
+    shot costs ~50 ms even at 1M points (``bench_report.json``) and lands
+    inside the basin whenever the clouds' principal axes are resolvable;
+    the unchanged ICP loop then refines from that transform through the
+    same ``ICPResume`` warm-start carry chunked dispatch uses.
+
+    The carried error is the cold-start sentinel (``basicicp.cpp:26``),
+    NOT the NICP subcloud error: the two are computed over different
+    point sets, and seeding the divergence guard with an incomparable
+    number could abort the first real iteration.  The guard still
+    protects — a diverging first step reverts to the NICP transform.
+    """
+    from tpuslam.algorithms.nicp import nicp_register
+
+    pre = nicp_register(
+        before, after, eps=eps, subcloud_size=subcloud_size, seed=seed,
+        use_pallas=kwargs.get("use_pallas"),
+    )
+    resume = ICPResume(
+        rotation=pre.transform.rotation,
+        translation=pre.transform.translation,
+        error=jnp.float32(1e5),  # cold-start value, basicicp.cpp:26
+    )
+    common = dict(
+        eps=eps, max_distance_squared=max_distance_squared,
+        max_iterations=max_iterations, resume=resume, **kwargs,
+    )
+    if chunk:
+        return icp_register_chunked(before, after, chunk=chunk, **common)
+    return icp_register(before, after, **common)

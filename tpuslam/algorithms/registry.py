@@ -104,7 +104,16 @@ def _run_icp(
         max_distance_squared=config.max_distance_squared,
         max_iterations=max_iterations,
     )
-    if chunk:
+    if config.icp_prealign:
+        from tpuslam.algorithms.icp import icp_register_prealigned
+
+        result = icp_register_prealigned(
+            pad_cloud(before), pad_cloud(after), chunk=chunk,
+            subcloud_size=config.nicp_subcloud_size,
+            seed=config.random_seed if config.random_seed is not None else 0,
+            **common,
+        )
+    elif chunk:
         result = icp_register_chunked(
             pad_cloud(before), pad_cloud(after), chunk=chunk, **common
         )

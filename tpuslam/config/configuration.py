@@ -94,6 +94,9 @@ class Configuration:
     # extension: start CPD EM from the centroid-difference translation
     # (rescues free-scale mode at large translations; see cpd_register)
     cpd_centroid_init: bool = False
+    # extension: seed the ICP loop with a one-shot NICP estimate
+    # (rescues large-motion cases; see icp_register_prealigned)
+    icp_prealign: bool = False
 
     def print(self) -> str:
         """Config echo in the spirit of ``configuration.cpp:4-114``."""
@@ -142,6 +145,7 @@ class Configuration:
             f"fgt-order-of-truncation: {self.order_of_truncation}",
             f"cpd-use-fgt: {str(self.cpd_use_fgt).lower()}",
             f"cpd-centroid-init: {str(self.cpd_centroid_init).lower()}",
+            f"icp-prealign: {str(self.icp_prealign).lower()}",
         ]
         text = "\n".join(lines)
         print(text)

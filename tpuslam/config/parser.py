@@ -210,6 +210,9 @@ class ConfigParser:
         # extension key: centroid-difference EM start for CPD (rescues
         # free-scale registration at large translations)
         c.cpd_centroid_init = bool(opt(parsed, "cpd-centroid-init", False))
+        # extension key: NICP pre-alignment for ICP (large-motion rescue;
+        # see tpuslam.algorithms.icp.icp_register_prealigned)
+        c.icp_prealign = bool(opt(parsed, "icp-prealign", False))
 
     def _validate(self) -> None:
         if self.config.transformation is None and (
