@@ -56,7 +56,7 @@ REPEATS = 5  # reference: 5 repeats per cell
 SPREAD_SQ = 100.0  # cloud-spread 10
 
 
-def run_one(method, size, rot, trans, seed):
+def run_one(method, size, rot, trans, seed, prealign=False):
     config = Configuration(
         computation_method=method,
         before_path=get_object_with_min_size(size),
@@ -83,6 +83,7 @@ def run_one(method, size, rot, trans, seed):
         # the published study; free scale collapses at translation 30
         cpd_const_scale=True,
         random_seed=seed,
+        icp_prealign=prealign,
     )
     before, after, (gt_r, gt_t) = get_clouds_from_config(config)
     t0 = time.perf_counter()
@@ -111,18 +112,30 @@ def run_one(method, size, rot, trans, seed):
 
 
 def main():
+    # TPUSLAM_CONV_PREALIGN=1: re-run the ICP grid with the icp-prealign
+    # extension ON (NICP seed), writing to *_prealign artifacts — measures
+    # how much of ICP's published convergence weakness the seed recovers.
+    prealign = os.environ.get("TPUSLAM_CONV_PREALIGN") == "1"
+    sizes_by_method = (
+        {ComputationMethod.Icp: SIZES[ComputationMethod.Icp]}
+        if prealign else SIZES
+    )
+    suffix = "_prealign" if prealign else ""
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "bench_results", "convergence.jsonl",
+        "bench_results", f"convergence{suffix}.jsonl",
     )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     rows = []
     with open(out_path, "w") as fh:
-        for method, sizes in SIZES.items():
+        for method, sizes in sizes_by_method.items():
             for size in sizes:
                 for rot, trans in COMBOS:
                     for rep in range(REPEATS):
-                        row = run_one(method, size, rot, trans, 1000 + rep)
+                        row = run_one(
+                            method, size, rot, trans, 1000 + rep,
+                            prealign=prealign,
+                        )
                         rows.append(row)
                         fh.write(json.dumps(row) + "\n")
                         fh.flush()
@@ -134,7 +147,7 @@ def main():
                         )
 
     lines = ["=== convergence rates ==="]
-    for method in SIZES:
+    for method in sizes_by_method:
         mrows = [r for r in rows if r["method"] == method.value]
         total = sum(r["converged"] for r in mrows) / len(mrows)
         lines.append(f"{method.value}: overall {total:.2f}")
@@ -145,14 +158,17 @@ def main():
             ]
             rate = sum(r["converged"] for r in sub) / len(sub)
             lines.append(f"  rot={rot} trans={trans}: {rate:.2f}")
-        for size in SIZES[method]:
+        for size in sizes_by_method[method]:
             sub = [r for r in mrows if r["size"] == size]
             rate = sum(r["converged"] for r in sub) / len(sub)
             lines.append(f"  size={size}: {rate:.2f}")
     summary = "\n".join(lines) + "\n"
     print("\n" + summary)
     with open(
-        os.path.join(os.path.dirname(out_path), "convergence_summary.txt"),
+        os.path.join(
+            os.path.dirname(out_path),
+            f"convergence_summary{suffix}.txt",
+        ),
         "w",
     ) as fh:
         fh.write(summary)
