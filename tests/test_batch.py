@@ -126,3 +126,62 @@ def test_register_pairs_library_api(rng):
             # differences only
             np.testing.assert_allclose(rots[i], r1, atol=1e-4)
             np.testing.assert_allclose(ts[i], t1, atol=1e-4)
+
+
+def test_prealign_batch_matches_solo(rng):
+    # anisotropic pairs at a motion outside the cold basin: the batched
+    # prealigned path must equal per-pair icp_register_prealigned AND
+    # recover the injected transform
+    from tpuslam.algorithms.batch import icp_register_prealigned_batch
+    from tpuslam.algorithms.icp import icp_register_prealigned
+
+    befores, afters, truths = [], [], []
+    for n in (300, 450, 200):
+        b = (rng.random((n, 3)) * 10 * np.array([4, 2, 1])).astype(
+            np.float32
+        )
+        r, t = random_rigid(rng, angle=2.0, trans=30.0)
+        a = (b @ r.T + t)[rng.permutation(n)].astype(np.float32)
+        befores.append(b)
+        afters.append(a)
+        truths.append((r, t))
+    kw = dict(eps=1e-6, max_distance_squared=1e9, max_iterations=40)
+    batch = icp_register_prealigned_batch(
+        stack_clouds(befores), stack_clouds(afters), **kw
+    )
+    for i, (b, a) in enumerate(zip(befores, afters)):
+        solo = icp_register_prealigned(
+            pad_cloud(b, multiple=512), pad_cloud(a, multiple=512),
+            use_pallas=False, **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch.transform.rotation[i]),
+            np.asarray(solo.transform.rotation),
+            atol=1e-5,
+        )
+        assert int(batch.iterations[i]) == int(solo.iterations)
+        r, t = truths[i]
+        rot = np.asarray(batch.transform.rotation[i])
+        tr = np.asarray(batch.transform.translation[i])
+        mse = np.mean(np.sum((b @ rot.T + tr - (b @ r.T + t)) ** 2, -1))
+        assert mse < 1e-3
+
+
+def test_register_pairs_prealign(rng):
+    # library API honors config.icp_prealign for the batched path
+    import tpuslam
+    from tpuslam.config.configuration import Configuration
+
+    b = (rng.random((400, 3)) * 10 * np.array([4, 2, 1])).astype(np.float32)
+    r, t = random_rigid(rng, angle=2.2, trans=35.0)
+    a = (b @ r.T + t)[rng.permutation(400)].astype(np.float32)
+    config = Configuration(
+        max_iterations=60, max_distance_squared=1e9,
+        convergence_epsilon=1e-6, icp_prealign=True,
+    )
+    rots, trs, iters, errs = tpuslam.register_pairs([b, b], [a, a], config)
+    for i in range(2):
+        mse = np.mean(
+            np.sum((b @ rots[i].T + trs[i] - (b @ r.T + t)) ** 2, -1)
+        )
+        assert mse < 1e-3

@@ -363,3 +363,36 @@ def test_sharded_estep_stats_match_tightly(rng, mesh):
         np.asarray(jnp.einsum("n,nr->r", full.pt1, jnp.asarray(target))),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_sharded_icp_prealigned_recovers_large_motion(rng, mesh):
+    """icp-prealign on the points-axis mesh: sharded NICP seed composed
+    around the sharded ICP loop recovers a motion outside the cold
+    basin, matching the single-device prealigned run."""
+    from tpuslam.algorithms.icp import icp_register_prealigned
+    from tpuslam.parallel.icp import icp_register_sharded_prealigned
+
+    before = (rng.random((500, 3)) * 10 * np.array([4, 2, 1])).astype(
+        np.float32
+    )
+    r, t = random_rigid(rng, angle=2.2, trans=35.0)
+    after = (before @ r.T + t)[rng.permutation(500)].astype(np.float32)
+
+    kw = dict(eps=1e-6, max_distance_squared=1e9, max_iterations=50)
+    single = icp_register_prealigned(
+        pad_cloud(before), pad_cloud(after), **kw
+    )
+    sharded = icp_register_sharded_prealigned(
+        replicate_cloud(before, mesh), shard_cloud(after, mesh), mesh, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.rotation),
+        np.asarray(single.transform.rotation),
+        atol=1e-4,
+    )
+    rot = np.asarray(sharded.transform.rotation)
+    trans = np.asarray(sharded.transform.translation)
+    mse = np.mean(
+        np.sum((before @ rot.T + trans - (before @ r.T + t)) ** 2, -1)
+    )
+    assert mse < 1e-3

@@ -80,12 +80,27 @@ def register_pairs(befores, afters, config=None, **overrides):
     )
     method = config.computation_method
     if method == ComputationMethod.Icp:
-        res = icp_register_batch(
-            b, a,
-            eps=config.convergence_epsilon,
-            max_distance_squared=config.max_distance_squared,
-            max_iterations=max_iterations,
-        )
+        if config.icp_prealign:
+            from tpuslam.algorithms.batch import icp_register_prealigned_batch
+
+            res = icp_register_prealigned_batch(
+                b, a,
+                eps=config.convergence_epsilon,
+                max_distance_squared=config.max_distance_squared,
+                max_iterations=max_iterations,
+                subcloud_size=config.nicp_subcloud_size,
+                seed=(
+                    config.random_seed
+                    if config.random_seed is not None else 0
+                ),
+            )
+        else:
+            res = icp_register_batch(
+                b, a,
+                eps=config.convergence_epsilon,
+                max_distance_squared=config.max_distance_squared,
+                max_iterations=max_iterations,
+            )
         rotation = np.asarray(res.transform.rotation)
     elif method == ComputationMethod.NoniterativeIcp:
         res = nicp_register_batch(

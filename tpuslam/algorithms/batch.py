@@ -114,3 +114,44 @@ def cpd_register_batch(
         use_pallas=None,  # auto: batched Pallas E-step on TPU
     )
     return jax.vmap(fn)(befores, afters)
+
+
+def icp_register_prealigned_batch(
+    befores: Cloud,
+    afters: Cloud,
+    eps: float = 1e-3,
+    max_distance_squared: float = 1000.0,
+    max_iterations: int = 50,
+    subcloud_size: int = 1000,
+    seed: int = 0,
+    divergence_guard: bool = True,
+) -> RegistrationResult:
+    """Batched ``icp_register_prealigned``: one NICP shot per pair seeds
+    each pair's ICP loop through a batched ``ICPResume`` (rotation
+    ``f32[B,3,3]``, translation ``f32[B,3]``, cold-start error sentinel —
+    same semantics as the single-pair path, one compiled program)."""
+    from tpuslam.algorithms.icp import ICPResume
+
+    pre = nicp_register_batch(
+        befores, afters, eps=eps, subcloud_size=subcloud_size, seed=seed
+    )
+    b = befores.points.shape[0]
+    resume = ICPResume(
+        rotation=pre.transform.rotation,
+        translation=pre.transform.translation,
+        error=jnp.full((b,), 1e5, jnp.float32),  # basicicp.cpp:26
+        nn=None,
+        done_before=jnp.zeros((b,), jnp.int32),
+    )
+    fn = partial(
+        icp_register,
+        eps=eps,
+        max_distance_squared=max_distance_squared,
+        max_iterations=max_iterations,
+        use_pallas=None,
+        use_spatial=False,  # scalar-prefetch sparse kernel is not vmappable
+        divergence_guard=divergence_guard,
+    )
+    return jax.vmap(lambda bb, aa, rr: fn(bb, aa, resume=rr))(
+        befores, afters, resume
+    )

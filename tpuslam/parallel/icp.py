@@ -217,3 +217,56 @@ def icp_register_sharded(
         iterations=iterations,
         error=error,
     )
+
+
+def icp_register_sharded_prealigned(
+    before: Cloud,
+    after: Cloud,
+    mesh: Mesh,
+    eps: float = 1e-3,
+    max_distance_squared: float = 1000.0,
+    max_iterations: int = 50,
+    divergence_guard: bool = True,
+    use_spatial: bool = False,
+    subcloud_size: int = 1000,
+    seed: int = 0,
+) -> RegistrationResult:
+    """Sharded ICP seeded by sharded NICP — the ``icp-prealign``
+    extension on the points-axis mesh.
+
+    The seed is COMPOSED rather than resumed: ``before`` is
+    pre-transformed by the NICP estimate and the cold sharded loop runs
+    on the moved cloud (algebraically the same trajectory — ICP from
+    identity on ``R0·b + t0`` takes the same Procrustes steps as ICP
+    from ``(R0, t0)`` on ``b``), so the sharded driver's loop needs no
+    init-transform plumbing.  Final transform composes back:
+    ``R = R1·R0``, ``t = R1·t0 + t1``."""
+    from tpuslam.parallel.nicp import nicp_register_sharded
+
+    pre = nicp_register_sharded(
+        before, after, mesh, subcloud_size=subcloud_size, seed=seed
+    )
+    r0 = pre.transform.rotation
+    t0 = pre.transform.translation
+    moved = Cloud(
+        # padded rows must stay zeros (Cloud contract) — mask the shift
+        points=(before.points @ r0.T + t0) * before.mask()[:, None],
+        count=before.count,
+    )
+    res = icp_register_sharded(
+        moved, after, mesh, eps=eps,
+        max_distance_squared=max_distance_squared,
+        max_iterations=max_iterations,
+        divergence_guard=divergence_guard, use_spatial=use_spatial,
+    )
+    r1 = res.transform.rotation
+    t1 = res.transform.translation
+    return RegistrationResult(
+        transform=RigidTransform(
+            rotation=r1 @ r0,
+            translation=r1 @ t0 + t1,
+            scale=jnp.float32(1.0),
+        ),
+        iterations=res.iterations,
+        error=res.error,
+    )
