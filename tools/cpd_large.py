@@ -1,0 +1,147 @@
+"""Large-cloud CPD measurement — BASELINE config 4 ("CPD full GMM
+registration on mustang.obj, ~376k points; stresses the NxM
+responsibility matrix").
+
+The reference's mustang.obj is a missing blob (BASELINE.md), so the
+cloud is the documented `synthetic://` substitute at the same size.
+Measures, on the real chip:
+
+* exact blocked E-step seconds/iteration at 376k x 376k (1.4e11 pairs —
+  the regime the reference's CPU FGT exists for; its GPU exact path was
+  never run past ~1k, ``testset.cpp:63``),
+* the FGT E-step at the same size,
+* a short full registration with the Hybrid ladder (reference benchmark
+  mode) on a subsampled-but-large pair, reporting recovered-transform
+  gt-MSE.
+
+Writes ``bench_results/cpd_large.json``.  Run: ``python tools/cpd_large.py
+[size]`` (default 376_401 to mirror mustang's vertex count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+
+from bench_report import read_scalar, timeit  # noqa: E402
+
+
+def main() -> None:
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 376_401
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    read_scalar(jnp.sum(jnp.ones((8, 128))))  # prime a fresh relay worker
+    print(f"backend={jax.default_backend()} size={size}", flush=True)
+
+    from tpuslam.algorithms.cpd import (
+        cpd_estep_fgt,
+        sigma_squared_init,
+        uniform_constant,
+    )
+    from tpuslam.config.configuration import ApproximationType
+    from tpuslam.core.types import pad_cloud
+    from tpuslam.data.loader import load_cloud
+    from tpuslam.data.synthesis import (
+        get_random_rotation_matrix,
+        get_random_translation_vector,
+    )
+    from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
+
+    results = {"size": size}
+    rng = np.random.Generator(np.random.PCG64(666))
+    pts = load_cloud(f"synthetic://{size}").astype(np.float32)
+    cm, cn = pad_cloud(pts), pad_cloud(pts)
+    mm = (jnp.arange(cm.points.shape[0]) < cm.count).astype(jnp.float32)
+    nm = (jnp.arange(cn.points.shape[0]) < cn.count).astype(jnp.float32)
+    s2 = sigma_squared_init(cm.points, mm, cn.points, nm)
+    const = uniform_constant(s2, 0.1, cm.count, cn.count)
+    print(f"sigma2_init={float(s2):.4f}", flush=True)
+
+    # --- exact blocked E-step, one iteration ---
+    interpret = jax.default_backend() != "tpu"  # CPU smoke runs only
+
+    def estep_exact(i):
+        out = cpd_estep_pallas(
+            cm.points * (1.0 + 1e-5 * i), mm, cn.points, nm,
+            s2, const, jnp.asarray(False), interpret=interpret,
+        )
+        return out.error
+
+    dt = timeit(estep_exact, reps=2)
+    results["estep_exact_s_per_iter"] = round(dt, 3)
+    gpairs = (size * size) / dt / 1e9
+    results["estep_exact_gpairs_per_sec"] = round(gpairs, 1)
+    print(
+        f"exact E-step: {dt:.3f} s/iter ({gpairs:.1f} Gpairs/s)", flush=True
+    )
+
+    # --- FGT E-step at the same size ---
+    def estep_fgt(i):
+        out = cpd_estep_fgt(
+            cm.points * (1.0 + 1e-5 * i), mm, cn.points, nm,
+            s2, jnp.float32(0.1), cm.count, cn.count,
+            fgt_k=128, fgt_p=8, ratio_of_far_field=10.0,
+            sigma2_init=s2,
+        )
+        return out.error
+
+    dt_f = timeit(estep_fgt, reps=2)
+    results["estep_fgt_s_per_iter"] = round(dt_f, 3)
+    results["fgt_speedup_vs_exact"] = round(dt / dt_f, 2)
+    print(
+        f"FGT E-step: {dt_f:.3f} s/iter "
+        f"({dt / dt_f:.2f}x vs exact)", flush=True
+    )
+
+    # --- short full registration, Hybrid ladder (reference bench mode) ---
+    from tpuslam.algorithms.cpd import cpd_register
+
+    r = get_random_rotation_matrix(rng, 0.2)
+    t = get_random_translation_vector(rng, 10.0)
+    moved = (pts @ r.T + t)[rng.permutation(size)].astype(np.float32)
+    cb, ca = pad_cloud(pts), pad_cloud(moved)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    res = cpd_register(
+        cb, ca, weight=0.1, const_scale=True, max_iterations=15,
+        tolerance=1e-4, approximation_type=ApproximationType.Hybrid,
+    )
+    err = float(res.error)  # device->host read brackets completion
+    wall = _time.perf_counter() - t0
+    rot = np.asarray(res.transform.rotation)
+    tr = np.asarray(res.transform.translation)
+    target = pts @ r.T + t
+    gt_mse = float(np.mean(np.sum((pts @ rot.T + tr - target) ** 2, -1)))
+    results["hybrid_15iter_wall_s"] = round(wall, 1)
+    results["hybrid_15iter_gt_mse"] = round(gt_mse, 5)
+    results["hybrid_15iter_iterations"] = int(res.iterations)
+    print(
+        f"hybrid 15-iter run: {wall:.1f} s wall, gt-MSE {gt_mse:.5f}, "
+        f"err {err:.5f}", flush=True
+    )
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "bench_results", "cpd_large.json",
+    )
+    with open(os.path.abspath(out), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
