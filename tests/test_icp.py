@@ -382,3 +382,25 @@ def test_prealign_registry_end_to_end(rng):
     rot, trans, iters, err = run_with_configuration(before, after, config)
     np.testing.assert_allclose(rot, r_true, atol=2e-2)
     np.testing.assert_allclose(trans, t_true, atol=0.5)
+
+
+def test_prealign_degenerate_axes_stays_finite(rng):
+    """On an isotropic cloud (cube: principal axes unresolvable) the NICP
+    seed is arbitrary — prealigned ICP must still terminate with finite,
+    proper results (the divergence guard bounds the damage)."""
+    from tpuslam.algorithms.icp import icp_register_prealigned
+
+    cloud = make_cloud(rng, 1000)  # uniform cube, isotropic covariance
+    r_true, t_true = random_rigid(rng, 0.3, 2.0)
+    after = (cloud @ r_true.T + t_true)[rng.permutation(1000)].astype(
+        np.float32
+    )
+    res = icp_register_prealigned(
+        pad_cloud(cloud), pad_cloud(after),
+        eps=1e-5, max_distance_squared=1e9, max_iterations=60,
+    )
+    rot = np.asarray(res.transform.rotation)
+    assert np.all(np.isfinite(rot))
+    assert np.isfinite(float(res.error))
+    np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-4)
+    assert np.linalg.det(rot) == pytest.approx(1.0, abs=1e-4)
