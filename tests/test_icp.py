@@ -404,3 +404,26 @@ def test_prealign_degenerate_axes_stays_finite(rng):
     assert np.isfinite(float(res.error))
     np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-4)
     assert np.linalg.det(rot) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_prealign_large_coordinate_units(rng):
+    """The divergence-guard seed must be scale-free: on clouds in large
+    units (first-iteration MSE > 1e5) the seeded loop has to actually
+    refine, not freeze at the raw NICP transform (regression: an
+    absolute 1e5 prev_error seed aborted iteration 1)."""
+    from tpuslam.algorithms.icp import icp_register_prealigned
+
+    before, after, r_true, t_true = _anisotropic_pair(rng, 2.0, 30.0)
+    scale = 1000.0  # millimeter-style units
+    res = icp_register_prealigned(
+        pad_cloud(before * scale), pad_cloud(after * scale),
+        eps=1e-5, max_distance_squared=1e18, max_iterations=100,
+    )
+    assert int(res.iterations) > 0 or float(res.error) < 1.0
+    np.testing.assert_allclose(
+        np.asarray(res.transform.rotation), r_true, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.transform.translation), t_true * scale, rtol=0.02,
+        atol=0.5 * scale,
+    )

@@ -115,17 +115,26 @@ def main() -> None:
     cb, ca = pad_cloud(pts), pad_cloud(moved)
     import time as _time
 
-    t0 = _time.perf_counter()
-    res = cpd_register(
-        cb, ca, weight=0.1, const_scale=True, max_iterations=15,
-        tolerance=1e-4, approximation_type=ApproximationType.Hybrid,
+    common = dict(
+        weight=0.1, const_scale=True, tolerance=1e-4,
+        approximation_type=ApproximationType.Hybrid,
     )
+    # warm up compilation: max_iterations is a traced value, so the
+    # 1-iteration call compiles the same program the timed run uses
+    float(cpd_register(cb, ca, max_iterations=1, **common).error)
+    # perturb the timed input (f32-surviving) so a relayed backend
+    # cannot serve the warmed dispatch from its dedup cache
+    cb_t = pad_cloud((pts * (1.0 + 1e-5)).astype(np.float32))
+    t0 = _time.perf_counter()
+    res = cpd_register(cb_t, ca, max_iterations=15, **common)
     err = float(res.error)  # device->host read brackets completion
     wall = _time.perf_counter() - t0
     rot = np.asarray(res.transform.rotation)
     tr = np.asarray(res.transform.translation)
+    # evaluate with the perturbed moving cloud the timed run actually saw
+    pts_t = np.asarray(cb_t.points[: len(pts)])
     target = pts @ r.T + t
-    gt_mse = float(np.mean(np.sum((pts @ rot.T + tr - target) ** 2, -1)))
+    gt_mse = float(np.mean(np.sum((pts_t @ rot.T + tr - target) ** 2, -1)))
     results["hybrid_15iter_wall_s"] = round(wall, 1)
     results["hybrid_15iter_gt_mse"] = round(gt_mse, 5)
     results["hybrid_15iter_iterations"] = int(res.iterations)

@@ -22,8 +22,10 @@ run_step() { # name timeout_s retries cmd...
       echo "[queue] $name OK" >> "$LOG"
       return 0
     fi
-    echo "[queue] $name failed rc=$rc; backing off" >> "$LOG"
-    sleep $((120 * attempt)) # crashed relay workers need minutes
+    echo "[queue] $name failed rc=$rc" >> "$LOG"
+    if [ "$attempt" -lt "$tries" ]; then
+      sleep $((120 * attempt)) # crashed relay workers need minutes
+    fi
   done
   echo "[queue] $name SKIPPED after $tries attempts" >> "$LOG"
   return 1

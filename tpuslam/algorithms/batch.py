@@ -130,7 +130,7 @@ def icp_register_prealigned_batch(
     each pair's ICP loop through a batched ``ICPResume`` (rotation
     ``f32[B,3,3]``, translation ``f32[B,3]``, cold-start error sentinel —
     same semantics as the single-pair path, one compiled program)."""
-    from tpuslam.algorithms.icp import ICPResume
+    from tpuslam.algorithms.icp import FLT_MAX, ICPResume
 
     pre = nicp_register_batch(
         befores, afters, eps=eps, subcloud_size=subcloud_size, seed=seed
@@ -139,9 +139,12 @@ def icp_register_prealigned_batch(
     resume = ICPResume(
         rotation=pre.transform.rotation,
         translation=pre.transform.translation,
-        error=jnp.full((b,), 1e5, jnp.float32),  # basicicp.cpp:26
+        error=jnp.full((b,), 1e5, jnp.float32),  # reporting init
         nn=None,
         done_before=jnp.zeros((b,), jnp.int32),
+        # guard seed = cold start; an absolute threshold would freeze
+        # large-unit pairs at the raw NICP seed (see single-pair path)
+        prev_error=jnp.full((b,), FLT_MAX, jnp.float32),
     )
     fn = partial(
         icp_register,

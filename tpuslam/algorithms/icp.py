@@ -98,6 +98,12 @@ class ICPResume(NamedTuple):
     error: jnp.ndarray  # f32[]
     nn: Optional["HierState"] = None
     done_before: int = 0
+    # divergence-guard seed; None = use ``error`` (chunk boundaries,
+    # where the last accepted error IS the guard state).  The prealign
+    # path passes FLT_MAX here: its ``error`` is the cold-start
+    # *reporting* sentinel (basicicp.cpp:26), and an absolute 1e5 guard
+    # threshold would falsely abort iteration 1 on large-unit clouds.
+    prev_error: Optional[jnp.ndarray] = None
 
 
 @partial(
@@ -309,7 +315,11 @@ def icp_register(
             rotation=jnp.asarray(resume.rotation, jnp.float32),
             translation=jnp.asarray(resume.translation, jnp.float32),
             error=jnp.asarray(resume.error, jnp.float32),
-            prev_error=jnp.asarray(resume.error, jnp.float32),
+            prev_error=jnp.asarray(
+                resume.error if resume.prev_error is None
+                else resume.prev_error,
+                jnp.float32,
+            ),
             iterations=jnp.int32(0),
             done=jnp.asarray(False),
             nn=nn_init,
@@ -409,11 +419,14 @@ def icp_register_prealigned(
     the unchanged ICP loop then refines from that transform through the
     same ``ICPResume`` warm-start carry chunked dispatch uses.
 
-    The carried error is the cold-start sentinel (``basicicp.cpp:26``),
-    NOT the NICP subcloud error: the two are computed over different
-    point sets, and seeding the divergence guard with an incomparable
-    number could abort the first real iteration.  The guard still
-    protects — a diverging first step reverts to the NICP transform.
+    The carried error is the cold-start sentinel (``basicicp.cpp:26``)
+    for reporting, but the divergence guard is seeded with FLT_MAX
+    exactly as a cold start seeds it: the NICP subcloud error is
+    computed over a different point set (incomparable), and any absolute
+    guard threshold (1e5 included) would falsely abort the first real
+    iteration on large-coordinate-unit clouds.  The guard still
+    protects from iteration 2 on — a diverging step reverts to the last
+    accepted transform, at worst the NICP seed.
     """
     from tpuslam.algorithms.nicp import nicp_register
 
@@ -424,7 +437,8 @@ def icp_register_prealigned(
     resume = ICPResume(
         rotation=pre.transform.rotation,
         translation=pre.transform.translation,
-        error=jnp.float32(1e5),  # cold-start value, basicicp.cpp:26
+        error=jnp.float32(1e5),  # reporting init, basicicp.cpp:26
+        prev_error=FLT_MAX,  # cold-start guard seed
     )
     common = dict(
         eps=eps, max_distance_squared=max_distance_squared,
