@@ -427,3 +427,65 @@ def test_prealign_large_coordinate_units(rng):
         np.asarray(res.transform.translation), t_true * scale, rtol=0.02,
         atol=0.5 * scale,
     )
+
+
+def test_checkpoint_resume_matches_uninterrupted(rng, tmp_path):
+    """Kill-and-continue (SURVEY §5.4): a chunked run checkpointed to
+    disk and continued in a fresh call follows the exact trajectory of
+    the uninterrupted run — same transform bits, same iteration count."""
+    from tpuslam.algorithms.icp import icp_register_chunked
+
+    cloud = make_cloud(rng, 400)
+    r_true, t_true = random_rigid(rng, 0.4, 3.0)
+    after = (cloud @ r_true.T + t_true)[rng.permutation(400)].astype(
+        np.float32
+    )
+    kw = dict(eps=1e-7, max_distance_squared=1e4, chunk=5)
+    whole = icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), max_iterations=30, **kw
+    )
+    ck = str(tmp_path / "icp.ckpt.npz")
+    # "killed" first process: only 10 of the 30 iterations run
+    part = icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), max_iterations=10,
+        checkpoint_path=ck, **kw,
+    )
+    assert int(part.iterations) == 10
+    # fresh process continues from the boundary on disk
+    cont = icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), max_iterations=30,
+        checkpoint_path=ck, **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cont.transform.rotation),
+        np.asarray(whole.transform.rotation),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cont.transform.translation),
+        np.asarray(whole.transform.translation),
+    )
+    assert int(cont.iterations) == int(whole.iterations)
+    assert float(cont.error) == float(whole.error)
+
+
+def test_checkpoint_rejects_mismatched_run(rng, tmp_path):
+    from tpuslam.algorithms.icp import icp_register_chunked
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.2, 1.0)
+    after = (cloud @ r_true.T + t_true).astype(np.float32)
+    ck = str(tmp_path / "icp.ckpt.npz")
+    icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), max_iterations=6, chunk=3,
+        eps=0.0,  # never converges early -> a boundary is checkpointed
+        checkpoint_path=ck,
+    )
+    import os
+
+    assert os.path.exists(ck)
+    with pytest.raises(ValueError, match="mismatch"):
+        icp_register_chunked(
+            pad_cloud(cloud), pad_cloud(after), max_iterations=6, chunk=3,
+            eps=1e-5,  # different loop parameter
+            checkpoint_path=ck,
+        )

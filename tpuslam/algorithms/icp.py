@@ -347,6 +347,7 @@ def icp_register_chunked(
     max_iterations: int = 50,
     chunk: int = 10,
     resume: Optional[ICPResume] = None,
+    checkpoint_path: Optional[str] = None,
     **kwargs,
 ) -> RegistrationResult:
     """``icp_register`` dispatched ``chunk`` iterations at a time, the
@@ -360,11 +361,34 @@ def icp_register_chunked(
     dispatch mean multi-minute XLA programs, which long-running relayed
     TPU workers have been observed to die under; ~5-second dispatches
     survive.  Bounded dispatches are also the checkpointable unit for
-    resumable long registrations (SURVEY §5.4)."""
+    resumable long registrations (SURVEY §5.4): pass
+    ``checkpoint_path`` to persist every chunk boundary to disk and to
+    continue a killed run from its last boundary in a new process
+    (``tpuslam.harness.checkpoint``; shape/parameter mismatches are
+    rejected at load)."""
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
     _prime_device()
     total = 0
+    ckpt_meta = None
+    if checkpoint_path is not None:
+        import os as _os
+
+        ckpt_meta = {
+            "n_pad": int(before.points.shape[0]),
+            "m_pad": int(after.points.shape[0]),
+            "n": int(before.count),
+            "m": int(after.count),
+            "eps": float(eps),
+            "max_distance_squared": float(max_distance_squared),
+        }
+        if _os.path.exists(checkpoint_path):
+            from tpuslam.harness.checkpoint import load_icp_checkpoint
+
+            resume, _ = load_icp_checkpoint(
+                checkpoint_path, expect_meta=ckpt_meta
+            )
+            total = int(resume.done_before)
     while True:
         if max_iterations == -1:
             k = chunk
@@ -389,6 +413,10 @@ def icp_register_chunked(
             nn=result.nn,
             done_before=jnp.int32(total),
         )
+        if checkpoint_path is not None:
+            from tpuslam.harness.checkpoint import save_icp_checkpoint
+
+            save_icp_checkpoint(checkpoint_path, resume, ckpt_meta)
     return RegistrationResult(
         transform=result.transform,
         iterations=jnp.int32(total),
