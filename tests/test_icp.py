@@ -489,3 +489,31 @@ def test_checkpoint_rejects_mismatched_run(rng, tmp_path):
             eps=1e-5,  # different loop parameter
             checkpoint_path=ck,
         )
+
+
+def test_registry_checkpoint_env(rng, monkeypatch, tmp_path):
+    """TPUSLAM_ICP_CKPT through the registry: a killed chunked run
+    continues from disk and lands on the uninterrupted result."""
+    from tpuslam.algorithms.registry import run_with_configuration
+    from tpuslam.config.configuration import Configuration
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.3, 2.0)
+    after = (cloud @ r_true.T + t_true).astype(np.float32)
+    config = Configuration(
+        max_iterations=20, max_distance_squared=1e4,
+        convergence_epsilon=0.0,
+    )
+    monkeypatch.setenv("TPUSLAM_ICP_CHUNK", "4")
+    whole = run_with_configuration(cloud, after, config)
+    ck = str(tmp_path / "cli.ckpt.npz")
+    monkeypatch.setenv("TPUSLAM_ICP_CKPT", ck)
+    config_part = Configuration(
+        max_iterations=8, max_distance_squared=1e4,
+        convergence_epsilon=0.0,
+    )
+    run_with_configuration(cloud, after, config_part)  # "killed" at 8
+    cont = run_with_configuration(cloud, after, config)
+    np.testing.assert_array_equal(cont[0], whole[0])
+    np.testing.assert_array_equal(cont[1], whole[1])
+    assert cont[2] == whole[2] and cont[3] == whole[3]

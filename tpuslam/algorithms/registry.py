@@ -115,7 +115,12 @@ def _run_icp(
         )
     elif chunk:
         result = icp_register_chunked(
-            pad_cloud(before), pad_cloud(after), chunk=chunk, **common
+            pad_cloud(before), pad_cloud(after), chunk=chunk,
+            # TPUSLAM_ICP_CKPT=path persists every chunk boundary so a
+            # killed run (`python -m tpuslam cfg.json`) continues from
+            # disk (tpuslam.harness.checkpoint)
+            checkpoint_path=os.environ.get("TPUSLAM_ICP_CKPT"),
+            **common,
         )
     else:
         result = icp_register(pad_cloud(before), pad_cloud(after), **common)
