@@ -259,3 +259,125 @@ def test_centroid_init_noop_when_centroids_match(rng):
         np.asarray(res_a.transform.rotation),
         np.asarray(res_b.transform.rotation), atol=1e-5)
     assert int(res_a.iterations) == int(res_b.iterations)
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [ApproximationType.NONE, ApproximationType.Hybrid, ApproximationType.Full],
+)
+def test_chunked_matches_unchunked(rng, mode):
+    """Chunked EM dispatch must follow the identical trajectory: the
+    boundary state is the exact while_loop carry (same transform bits,
+    same sigma^2, same iteration count), for chunk sizes that do and do
+    not divide the count."""
+    from tpuslam.algorithms.cpd import cpd_register_chunked
+
+    before = (rng.random((300, 3)) * 6.0 - 3.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.25, trans=0.5)
+    after = (before @ r.T + t)[rng.permutation(300)].astype(np.float32)
+    kw = dict(
+        weight=0.1, max_iterations=60, tolerance=1e-6,
+        approximation_type=mode,
+    )
+    whole = cpd_register(pad_cloud(before), pad_cloud(after), **kw)
+    for chunk in (1, 7, 64):
+        parts = cpd_register_chunked(
+            pad_cloud(before), pad_cloud(after), chunk=chunk, **kw
+        )
+        assert int(parts.iterations) == int(whole.iterations), chunk
+        np.testing.assert_array_equal(
+            np.asarray(parts.transform.rotation),
+            np.asarray(whole.transform.rotation),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(parts.transform.translation),
+            np.asarray(whole.transform.translation),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(parts.error), np.asarray(whole.error)
+        )
+
+
+def test_chunked_minus_one_runs_zero_iterations(rng):
+    # CPD's -1 is ZERO iterations (coherentpointdrift.cpp:104), and the
+    # chunked driver must preserve that quirk, not treat it as unbounded
+    from tpuslam.algorithms.cpd import cpd_register_chunked
+
+    before = (rng.random((200, 3)) * 2.0).astype(np.float32)
+    after = (rng.random((200, 3)) * 2.0).astype(np.float32)
+    res = cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), max_iterations=-1, chunk=4,
+        weight=0.1,
+    )
+    assert int(res.iterations) == 0
+    np.testing.assert_allclose(
+        np.asarray(res.transform.rotation), np.eye(3), atol=1e-6
+    )
+
+
+def test_checkpoint_resume_matches_uninterrupted(rng, tmp_path):
+    """Kill-and-continue for CPD (SURVEY §5.4): checkpointed chunked EM
+    continued in a fresh call equals the uninterrupted run bit-for-bit."""
+    from tpuslam.algorithms.cpd import cpd_register_chunked
+
+    before = (rng.random((300, 3)) * 6.0 - 3.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.25, trans=0.5)
+    after = (before @ r.T + t)[rng.permutation(300)].astype(np.float32)
+    kw = dict(weight=0.1, tolerance=1e-9, chunk=4)
+    whole = cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), max_iterations=30, **kw
+    )
+    ck = str(tmp_path / "cpd.ckpt.npz")
+    part = cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), max_iterations=12,
+        checkpoint_path=ck, **kw,
+    )
+    assert int(part.iterations) == 12
+    cont = cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), max_iterations=30,
+        checkpoint_path=ck, **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cont.transform.rotation),
+        np.asarray(whole.transform.rotation),
+    )
+    assert int(cont.iterations) == int(whole.iterations)
+    assert float(cont.error) == float(whole.error)
+    # an ICP checkpoint must be rejected by the CPD loader (kind guard)
+    from tpuslam.harness.checkpoint import load_cpd_checkpoint
+
+    with pytest.raises(ValueError, match="kind"):
+        from tpuslam.algorithms.icp import ICPResume
+        from tpuslam.harness.checkpoint import save_icp_checkpoint
+
+        ick = str(tmp_path / "icp.ckpt.npz")
+        save_icp_checkpoint(
+            ick,
+            ICPResume(
+                rotation=np.eye(3, dtype=np.float32),
+                translation=np.zeros(3, np.float32),
+                error=np.float32(1.0),
+            ),
+        )
+        load_cpd_checkpoint(ick)
+
+
+def test_registry_cpd_chunk_env_matches_whole(rng, monkeypatch):
+    # TPUSLAM_CPD_CHUNK forces the chunked EM driver through the
+    # registry; results must be identical to the single-dispatch run
+    from tpuslam.algorithms.registry import run_with_configuration
+    from tpuslam.config.configuration import ComputationMethod, Configuration
+
+    before = (rng.random((250, 3)) * 6.0 - 3.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.2, trans=0.4)
+    after = (before @ r.T + t).astype(np.float32)
+    config = Configuration(
+        computation_method=ComputationMethod.Cpd,
+        max_iterations=40, cpd_weight=0.1, cpd_tolerance=1e-7,
+    )
+    whole = run_with_configuration(before, after, config)
+    monkeypatch.setenv("TPUSLAM_CPD_CHUNK", "6")
+    parts = run_with_configuration(before, after, config)
+    np.testing.assert_array_equal(parts[0], whole[0])
+    np.testing.assert_array_equal(parts[1], whole[1])
+    assert parts[2] == whole[2] and parts[3] == whole[3]

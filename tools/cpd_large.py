@@ -107,7 +107,9 @@ def main() -> None:
     )
 
     # --- short full registration, Hybrid ladder (reference bench mode) ---
-    from tpuslam.algorithms.cpd import cpd_register
+    # chunked dispatch: at 376k one E-step is seconds, and multi-minute
+    # single XLA programs kill relayed workers (docs/ROADMAP.md rules)
+    from tpuslam.algorithms.cpd import cpd_register_chunked as cpd_register
 
     r = get_random_rotation_matrix(rng, 0.2)
     t = get_random_translation_vector(rng, 10.0)
@@ -119,9 +121,12 @@ def main() -> None:
         weight=0.1, const_scale=True, tolerance=1e-4,
         approximation_type=ApproximationType.Hybrid,
     )
-    # warm up compilation: max_iterations is a traced value, so the
-    # 1-iteration call compiles the same program the timed run uses
-    float(cpd_register(cb, ca, max_iterations=1, **common).error)
+    # warm up compilation: max_iterations is traced, so a 4-iteration
+    # call at chunk=3 compiles BOTH programs the timed run uses (the
+    # cold-start trace and the resumed-chunk trace); chunk=3 keeps each
+    # dispatch ~3 E-steps, well under a minute
+    common["chunk"] = 3
+    float(cpd_register(cb, ca, max_iterations=4, **common).error)
     # perturb the timed input (f32-surviving) so a relayed backend
     # cannot serve the warmed dispatch from its dedup cache
     cb_t = pad_cloud((pts * (1.0 + 1e-5)).astype(np.float32))

@@ -54,7 +54,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -405,6 +405,23 @@ class CPDState(NamedTuple):
     iterations: jnp.ndarray
 
 
+class CPDResume(NamedTuple):
+    """Warm-start carry for chunked dispatch (``cpd_register_chunked``):
+    the FULL EM loop state at an iteration boundary — everything the
+    while_loop would hold had it continued (sigma2_0 / t0 / c_init are
+    pure functions of the unchanged inputs and are recomputed
+    identically) — plus the iterations already done (verbose loop_nr
+    and history-slot continuity)."""
+
+    rotation: jnp.ndarray  # f32[3,3]
+    translation: jnp.ndarray  # f32[3]
+    scale: jnp.ndarray  # f32[]
+    sigma2: jnp.ndarray  # f32[]
+    log_likelihood: jnp.ndarray  # f32[]
+    ntol: jnp.ndarray  # f32[]
+    done_before: int = 0
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -433,6 +450,7 @@ def cpd_register(
     history_length: int = 256,
     use_pallas=None,
     centroid_init: bool = False,
+    resume: Optional[CPDResume] = None,
 ) -> RegistrationResult:
     """Register ``before`` (the moving GMM centroids) onto ``after``.
 
@@ -475,6 +493,11 @@ def cpd_register(
         t0 = jnp.zeros((3,), jnp.float32)
         sigma2_0 = sigma_squared_init(moving, mask_b, target, mask_a)
     c_init = uniform_constant(sigma2_0, weight, m, n)
+
+    iter_offset = (
+        jnp.int32(0) if resume is None
+        else jnp.asarray(resume.done_before, jnp.int32)
+    )
 
     def cond(s: CPDState):
         # non-finite sigma^2/ntol fail the comparisons and stop the loop
@@ -552,7 +575,7 @@ def cpd_register(
             # (coherentpointdrift.cpp:121: "loop_nr %d, error: %f")
             jax.debug.print(
                 "loop_nr {i}, error: {e}",
-                i=s.iterations + 1, e=mres.sigma2,
+                i=s.iterations + 1 + iter_offset, e=mres.sigma2,
             )
         return CPDState(
             rotation=mres.rotation,
@@ -564,15 +587,32 @@ def cpd_register(
             iterations=s.iterations + 1,
         )
 
-    init = CPDState(
-        rotation=jnp.eye(3, dtype=jnp.float32),
-        translation=t0,
-        scale=jnp.float32(1.0),
-        sigma2=sigma2_0,
-        log_likelihood=jnp.float32(0.0),
-        ntol=tolerance + 10.0,
-        iterations=jnp.int32(0),
-    )
+    if resume is None:
+        init = CPDState(
+            rotation=jnp.eye(3, dtype=jnp.float32),
+            translation=t0,
+            scale=jnp.float32(1.0),
+            sigma2=sigma2_0,
+            log_likelihood=jnp.float32(0.0),
+            ntol=tolerance + 10.0,
+            iterations=jnp.int32(0),
+        )
+    else:
+        # warm start at an EM iteration boundary: the resumed state IS
+        # the while_loop carry (sigma2_0/t0/c_init above are recomputed
+        # bit-identically from the unchanged inputs), so a chunked run
+        # follows the unchunked trajectory step for step
+        init = CPDState(
+            rotation=jnp.asarray(resume.rotation, jnp.float32),
+            translation=jnp.asarray(resume.translation, jnp.float32),
+            scale=jnp.asarray(resume.scale, jnp.float32),
+            sigma2=jnp.asarray(resume.sigma2, jnp.float32),
+            log_likelihood=jnp.asarray(
+                resume.log_likelihood, jnp.float32
+            ),
+            ntol=jnp.asarray(resume.ntol, jnp.float32),
+            iterations=jnp.int32(0),
+        )
     if record_history:
         # per-iteration (sigma2, ntol, log-likelihood, scale) ring — the
         # reference's printf telemetry (coherentpointdrift.cpp:121) as
@@ -587,7 +627,9 @@ def cpd_register(
                 [new_s.sigma2, new_s.ntol, new_s.log_likelihood,
                  new_s.scale]
             )
-            slot = jnp.minimum(s.iterations, history_length - 1)
+            slot = jnp.minimum(
+                s.iterations + iter_offset, history_length - 1
+            )
             return new_s, hist.at[slot].set(row)
 
         hist0 = jnp.full((history_length, 4), jnp.nan, jnp.float32)
@@ -604,4 +646,99 @@ def cpd_register(
         iterations=final.iterations,
         error=final.sigma2,  # the reference reports sigma^2 as "error"
         history=history,
+        em=final,  # the chunked driver's carry (cpd_register_chunked)
+    )
+
+
+def cpd_register_chunked(
+    before: Cloud,
+    after: Cloud,
+    max_iterations: int = -1,
+    chunk: int = 5,
+    checkpoint_path: Optional[str] = None,
+    **kwargs,
+) -> RegistrationResult:
+    """``cpd_register`` dispatched ``chunk`` EM iterations at a time,
+    the full loop state warm-started across dispatches (``CPDResume``).
+
+    Identical trajectory to the single-dispatch run (the boundary state
+    IS the while_loop carry; asserted bit-equal in ``tests/test_cpd.py``)
+    while bounding single-dispatch device time — at mustang scale
+    (~376k, BASELINE config 4) one exact E-step is seconds, so a full
+    EM run in one dispatch is a multi-minute XLA program, the regime
+    relayed TPU workers die under (same motivation as
+    ``icp_register_chunked``).  ``checkpoint_path`` persists every
+    boundary to disk for kill/continue (``tpuslam.harness.checkpoint``).
+
+    ``record_history`` is not supported here (each dispatch would
+    restart the ring); use the single-dispatch path for debugging.
+    """
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    if kwargs.get("record_history"):
+        raise ValueError(
+            "record_history is unsupported with chunked dispatch"
+        )
+    if max_iterations < 0:
+        # reference quirk: CPD's -1 means ZERO iterations (the loop
+        # condition `iterations < -1` is immediately false,
+        # coherentpointdrift.cpp:104) — NOT unbounded like ICP's
+        return cpd_register(
+            before, after, max_iterations=max_iterations, **kwargs
+        )
+    from tpuslam.core.device import prime_device
+
+    prime_device()
+    total = 0
+    resume = None
+    ckpt_meta = None
+    if checkpoint_path is not None:
+        import os as _os
+
+        ckpt_meta = {
+            "method": "cpd",
+            "n_pad": int(before.points.shape[0]),
+            "m_pad": int(after.points.shape[0]),
+            "n": int(before.count),
+            "m": int(after.count),
+            "eps": float(kwargs.get("eps", 1e-3)),
+            "tolerance": float(kwargs.get("tolerance", 1e-3)),
+        }
+        if _os.path.exists(checkpoint_path):
+            from tpuslam.harness.checkpoint import load_cpd_checkpoint
+
+            resume, _ = load_cpd_checkpoint(
+                checkpoint_path, expect_meta=ckpt_meta
+            )
+            total = int(resume.done_before)
+    while True:
+        k = min(chunk, max_iterations - total)
+        result = cpd_register(
+            before, after, max_iterations=k, resume=resume, **kwargs
+        )
+        did = int(result.iterations)
+        total += did
+        # the loop freezes its counter when it stops (converged /
+        # sigma^2 floor / non-finite), so an early stop is exactly
+        # "fewer than the allowed k iterations ran"
+        if did < k or total >= max_iterations:
+            break
+        s = result.em
+        resume = CPDResume(
+            rotation=s.rotation,
+            translation=s.translation,
+            scale=s.scale,
+            sigma2=s.sigma2,
+            log_likelihood=s.log_likelihood,
+            ntol=s.ntol,
+            done_before=jnp.int32(total),
+        )
+        if checkpoint_path is not None:
+            from tpuslam.harness.checkpoint import save_cpd_checkpoint
+
+            save_cpd_checkpoint(checkpoint_path, resume, ckpt_meta)
+    return RegistrationResult(
+        transform=result.transform,
+        iterations=jnp.int32(total),
+        error=result.error,
     )

@@ -61,6 +61,9 @@ class RegistrationResult(NamedTuple):
     # final hierarchical-NN warm state (spatial ICP only) — lets a
     # chunked driver carry the warm bounds across dispatches
     nn: Optional["HierState"] = None
+    # final EM loop state (CPD only) — the chunked driver's carry
+    # (tpuslam.algorithms.cpd.CPDState; typed loosely to avoid a cycle)
+    em: Optional[tuple] = None
 
 
 def resolve_use_spatial(

@@ -166,14 +166,16 @@ def _run_cpd(
     ``iterations < maxIterations`` is then immediately false — zero
     iterations, identity result (``coherentpointdrift.cpp:104``).  We
     reproduce that."""
-    from tpuslam.algorithms.cpd import cpd_register
+    import os
+
+    import jax
+
+    from tpuslam.algorithms.cpd import cpd_register, cpd_register_chunked
 
     max_iterations = (
         int(config.max_iterations) if config.max_iterations is not None else -1
     )
-    result = cpd_register(
-        pad_cloud(before),
-        pad_cloud(after),
+    common = dict(
         eps=config.convergence_epsilon,
         weight=config.cpd_weight,
         const_scale=config.cpd_const_scale,
@@ -185,6 +187,24 @@ def _run_cpd(
         use_fgt=config.cpd_use_fgt,
         centroid_init=config.cpd_centroid_init,
     )
+    # bound single-dispatch device time at large sizes exactly as ICP
+    # does (same work gate); CPD's -1 is zero iterations, never chunked
+    chunk = 0
+    if max_iterations > 0:
+        chunk = icp_chunk_size(
+            max(before.shape[0], after.shape[0]),
+            max_iterations,
+            jax.default_backend(),
+            os.environ.get("TPUSLAM_CPD_CHUNK"),
+        )
+    if chunk:
+        result = cpd_register_chunked(
+            pad_cloud(before), pad_cloud(after), chunk=chunk,
+            checkpoint_path=os.environ.get("TPUSLAM_CPD_CKPT"),
+            **common,
+        )
+    else:
+        result = cpd_register(pad_cloud(before), pad_cloud(after), **common)
     # the reference returns (scale * R, t) (coherentpointdrift.cpp:123)
     rotation = np.asarray(result.transform.scale) * np.asarray(
         result.transform.rotation

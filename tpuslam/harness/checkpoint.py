@@ -44,7 +44,9 @@ def save_icp_checkpoint(
         arrays["nn_prev_pos"] = np.asarray(resume.nn.prev_pos, np.float32)
         arrays["nn_warm"] = np.asarray(resume.nn.warm, bool)
         arrays["nn_sparse"] = np.asarray(resume.nn.sparse, bool)
-    header = json.dumps({"version": _VERSION, "meta": meta or {}})
+    header = json.dumps(
+        {"version": _VERSION, "kind": "icp", "meta": meta or {}}
+    )
     arrays["header"] = np.frombuffer(header.encode(), dtype=np.uint8)
     with open(path, "wb") as fh:
         np.savez(fh, **arrays)
@@ -60,6 +62,11 @@ def load_icp_checkpoint(
         if header.get("version") != _VERSION:
             raise ValueError(
                 f"checkpoint version {header.get('version')} != {_VERSION}"
+            )
+        if header.get("kind") != "icp":
+            raise ValueError(
+                f"checkpoint mismatch on kind: stored "
+                f"{header.get('kind')!r}, expected 'icp'"
             )
         meta = header.get("meta", {})
         if expect_meta:
@@ -85,5 +92,64 @@ def load_icp_checkpoint(
             nn=nn,
             done_before=int(z["done_before"]),
             prev_error=z["prev_error"] if "prev_error" in z else None,
+        )
+    return resume, meta
+
+
+def save_cpd_checkpoint(
+    path: str, resume, meta: Optional[dict] = None
+) -> None:
+    """Write a ``CPDResume`` (full EM loop state at a chunk boundary) to
+    ``path`` as ``.npz`` (see ``cpd_register_chunked``)."""
+    arrays = {
+        "rotation": np.asarray(resume.rotation, np.float32),
+        "translation": np.asarray(resume.translation, np.float32),
+        "scale": np.asarray(resume.scale, np.float32),
+        "sigma2": np.asarray(resume.sigma2, np.float32),
+        "log_likelihood": np.asarray(resume.log_likelihood, np.float32),
+        "ntol": np.asarray(resume.ntol, np.float32),
+        "done_before": np.asarray(resume.done_before, np.int32),
+    }
+    header = json.dumps(
+        {"version": _VERSION, "kind": "cpd", "meta": meta or {}}
+    )
+    arrays["header"] = np.frombuffer(header.encode(), dtype=np.uint8)
+    with open(path, "wb") as fh:
+        np.savez(fh, **arrays)
+
+
+def load_cpd_checkpoint(path: str, expect_meta: Optional[dict] = None):
+    """Load a CPD checkpoint written by :func:`save_cpd_checkpoint`;
+    metadata keys in ``expect_meta`` must match exactly."""
+    from tpuslam.algorithms.cpd import CPDResume
+
+    with np.load(path) as z:
+        header = json.loads(bytes(z["header"]).decode())
+        if header.get("version") != _VERSION:
+            raise ValueError(
+                f"checkpoint version {header.get('version')} != {_VERSION}"
+            )
+        if header.get("kind") != "cpd":
+            raise ValueError(
+                f"checkpoint mismatch on kind: stored "
+                f"{header.get('kind')!r}, expected 'cpd'"
+            )
+        meta = header.get("meta", {})
+        if expect_meta:
+            for key, want in expect_meta.items():
+                got = meta.get(key)
+                if got != want:
+                    raise ValueError(
+                        f"checkpoint mismatch on {key!r}: stored {got!r}, "
+                        f"expected {want!r}"
+                    )
+        resume = CPDResume(
+            rotation=z["rotation"],
+            translation=z["translation"],
+            scale=z["scale"],
+            sigma2=z["sigma2"],
+            log_likelihood=z["log_likelihood"],
+            ntol=z["ntol"],
+            done_before=int(z["done_before"]),
         )
     return resume, meta
