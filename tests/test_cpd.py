@@ -381,3 +381,31 @@ def test_registry_cpd_chunk_env_matches_whole(rng, monkeypatch):
     np.testing.assert_array_equal(parts[0], whole[0])
     np.testing.assert_array_equal(parts[1], whole[1])
     assert parts[2] == whole[2] and parts[3] == whole[3]
+
+
+def test_checkpoint_mismatch_starts_fresh(rng, tmp_path, capsys):
+    # a checkpoint written under different EM parameters (here: weight)
+    # is ignored by the driver, not resumed
+    from tpuslam.algorithms.cpd import cpd_register_chunked
+
+    before = (rng.random((200, 3)) * 6.0 - 3.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.2, trans=0.4)
+    after = (before @ r.T + t).astype(np.float32)
+    ck = str(tmp_path / "cpd.ckpt.npz")
+    cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), max_iterations=8, chunk=3,
+        weight=0.1, tolerance=1e-9, checkpoint_path=ck,
+    )
+    clean = cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), max_iterations=8, chunk=3,
+        weight=0.5, tolerance=1e-9,
+    )
+    resumed = cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), max_iterations=8, chunk=3,
+        weight=0.5, tolerance=1e-9, checkpoint_path=ck,
+    )
+    assert "ignoring checkpoint" in capsys.readouterr().out
+    np.testing.assert_array_equal(
+        np.asarray(resumed.transform.rotation),
+        np.asarray(clean.transform.rotation),
+    )

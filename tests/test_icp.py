@@ -468,27 +468,65 @@ def test_checkpoint_resume_matches_uninterrupted(rng, tmp_path):
     assert float(cont.error) == float(whole.error)
 
 
-def test_checkpoint_rejects_mismatched_run(rng, tmp_path):
+def test_checkpoint_mismatch_starts_fresh(rng, tmp_path, capsys):
+    """A checkpoint from a different registration (parameters or cloud
+    content) is some other run's state: the loader rejects it, and the
+    chunked driver treats that as 'no checkpoint' — fresh start, file
+    overwritten — so harness sweeps reusing one path stay correct."""
+    from tpuslam.algorithms.icp import icp_register_chunked
+    from tpuslam.harness.checkpoint import load_icp_checkpoint
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.2, 1.0)
+    after = (cloud @ r_true.T + t_true).astype(np.float32)
+    ck = str(tmp_path / "icp.ckpt.npz")
+    kw = dict(max_iterations=6, chunk=3, eps=0.0, checkpoint_path=ck)
+    icp_register_chunked(pad_cloud(cloud), pad_cloud(after), **kw)
+    import os
+
+    assert os.path.exists(ck)
+    # the loader itself rejects a parameter mismatch...
+    with pytest.raises(ValueError, match="mismatch"):
+        load_icp_checkpoint(ck, expect_meta={"eps": 1e-5})
+    # ...and a driver run on DIFFERENT clouds (fingerprint mismatch)
+    # ignores the file and produces the same result as a no-checkpoint
+    # run instead of resuming foreign state (e.g. the harness's warmup
+    # pass perturbs the cloud by 1e-4 and reuses the same path)
+    other = (cloud * (1.0 + 1e-4)).astype(np.float32)
+    other_after = (other @ r_true.T + t_true).astype(np.float32)
+    clean = icp_register_chunked(
+        pad_cloud(other), pad_cloud(other_after),
+        max_iterations=6, chunk=3, eps=0.0,
+    )
+    resumed = icp_register_chunked(
+        pad_cloud(other), pad_cloud(other_after), **kw
+    )
+    assert "ignoring checkpoint" in capsys.readouterr().out
+    np.testing.assert_array_equal(
+        np.asarray(resumed.transform.rotation),
+        np.asarray(clean.transform.rotation),
+    )
+    assert int(resumed.iterations) == int(clean.iterations)
+
+
+def test_checkpoint_idempotent_rerun(rng, tmp_path):
+    # a completed checkpointed run re-executed with the same arguments
+    # returns the same result from the persisted final boundary
     from tpuslam.algorithms.icp import icp_register_chunked
 
     cloud = make_cloud(rng, 300)
     r_true, t_true = random_rigid(rng, 0.2, 1.0)
     after = (cloud @ r_true.T + t_true).astype(np.float32)
     ck = str(tmp_path / "icp.ckpt.npz")
-    icp_register_chunked(
-        pad_cloud(cloud), pad_cloud(after), max_iterations=6, chunk=3,
-        eps=0.0,  # never converges early -> a boundary is checkpointed
-        checkpoint_path=ck,
+    kw = dict(max_iterations=6, chunk=3, eps=0.0, checkpoint_path=ck)
+    first = icp_register_chunked(pad_cloud(cloud), pad_cloud(after), **kw)
+    again = icp_register_chunked(pad_cloud(cloud), pad_cloud(after), **kw)
+    np.testing.assert_array_equal(
+        np.asarray(again.transform.rotation),
+        np.asarray(first.transform.rotation),
     )
-    import os
-
-    assert os.path.exists(ck)
-    with pytest.raises(ValueError, match="mismatch"):
-        icp_register_chunked(
-            pad_cloud(cloud), pad_cloud(after), max_iterations=6, chunk=3,
-            eps=1e-5,  # different loop parameter
-            checkpoint_path=ck,
-        )
+    assert int(again.iterations) == int(first.iterations)
+    assert float(again.error) == float(first.error)
 
 
 def test_registry_checkpoint_env(rng, monkeypatch, tmp_path):

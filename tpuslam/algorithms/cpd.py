@@ -668,7 +668,12 @@ def cpd_register_chunked(
     EM run in one dispatch is a multi-minute XLA program, the regime
     relayed TPU workers die under (same motivation as
     ``icp_register_chunked``).  ``checkpoint_path`` persists every
-    boundary to disk for kill/continue (``tpuslam.harness.checkpoint``).
+    boundary — the final one included — for kill/continue
+    (``tpuslam.harness.checkpoint``); a file that does not match this
+    run (cloud fingerprints, shapes, or the trajectory-determining EM
+    parameters) is ignored with a notice and overwritten, and a
+    matching file whose progress already meets ``max_iterations``
+    returns its state as-is (idempotent re-run).
 
     ``record_history`` is not supported here (each dispatch would
     restart the ring); use the single-dispatch path for debugging.
@@ -695,22 +700,66 @@ def cpd_register_chunked(
     if checkpoint_path is not None:
         import os as _os
 
+        from tpuslam.harness.checkpoint import (
+            cloud_fingerprint,
+            load_cpd_checkpoint,
+        )
+
+        # every trajectory-determining EM parameter is validated, so a
+        # checkpoint can never resume a state produced under different
+        # semantics (weight, scale mode, approximation ladder, FGT)
+        approx = kwargs.get("approximation_type", ApproximationType.NONE)
         ckpt_meta = {
-            "method": "cpd",
             "n_pad": int(before.points.shape[0]),
             "m_pad": int(after.points.shape[0]),
             "n": int(before.count),
             "m": int(after.count),
             "eps": float(kwargs.get("eps", 1e-3)),
             "tolerance": float(kwargs.get("tolerance", 1e-3)),
+            "weight": float(kwargs.get("weight", 0.3)),
+            "const_scale": bool(kwargs.get("const_scale", False)),
+            "approximation_type": str(getattr(approx, "value", approx)),
+            "use_fgt": bool(kwargs.get("use_fgt", False)),
+            "fgt_k": int(kwargs.get("fgt_k", 128)),
+            "order_of_truncation": int(
+                kwargs.get("order_of_truncation", 8)
+            ),
+            "ratio_of_far_field": float(
+                kwargs.get("ratio_of_far_field", 10.0)
+            ),
+            "centroid_init": bool(kwargs.get("centroid_init", False)),
+            "fp_before": cloud_fingerprint(before.points, before.mask()),
+            "fp_after": cloud_fingerprint(after.points, after.mask()),
         }
         if _os.path.exists(checkpoint_path):
-            from tpuslam.harness.checkpoint import load_cpd_checkpoint
-
-            resume, _ = load_cpd_checkpoint(
-                checkpoint_path, expect_meta=ckpt_meta
+            try:
+                resume, _ = load_cpd_checkpoint(
+                    checkpoint_path, expect_meta=ckpt_meta
+                )
+                total = int(resume.done_before)
+            except ValueError as exc:
+                print(
+                    f"[tpuslam] ignoring checkpoint {checkpoint_path} "
+                    f"(not this registration's state: {exc})"
+                )
+        if resume is not None and total >= max_iterations:
+            if total > max_iterations:
+                print(
+                    f"[tpuslam] checkpoint already holds {total} EM "
+                    f"iterations (requested {max_iterations}); "
+                    f"returning its state"
+                )
+            return RegistrationResult(
+                transform=RigidTransform(
+                    rotation=jnp.asarray(resume.rotation, jnp.float32),
+                    translation=jnp.asarray(
+                        resume.translation, jnp.float32
+                    ),
+                    scale=jnp.asarray(resume.scale, jnp.float32),
+                ),
+                iterations=jnp.int32(total),
+                error=jnp.asarray(resume.sigma2, jnp.float32),
             )
-            total = int(resume.done_before)
     while True:
         k = min(chunk, max_iterations - total)
         result = cpd_register(
@@ -718,11 +767,6 @@ def cpd_register_chunked(
         )
         did = int(result.iterations)
         total += did
-        # the loop freezes its counter when it stops (converged /
-        # sigma^2 floor / non-finite), so an early stop is exactly
-        # "fewer than the allowed k iterations ran"
-        if did < k or total >= max_iterations:
-            break
         s = result.em
         resume = CPDResume(
             rotation=s.rotation,
@@ -737,6 +781,11 @@ def cpd_register_chunked(
             from tpuslam.harness.checkpoint import save_cpd_checkpoint
 
             save_cpd_checkpoint(checkpoint_path, resume, ckpt_meta)
+        # the loop freezes its counter when it stops (converged /
+        # sigma^2 floor / non-finite), so an early stop is exactly
+        # "fewer than the allowed k iterations ran"
+        if did < k or total >= max_iterations:
+            break
     return RegistrationResult(
         transform=result.transform,
         iterations=jnp.int32(total),

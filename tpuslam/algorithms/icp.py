@@ -365,10 +365,16 @@ def icp_register_chunked(
     TPU workers have been observed to die under; ~5-second dispatches
     survive.  Bounded dispatches are also the checkpointable unit for
     resumable long registrations (SURVEY §5.4): pass
-    ``checkpoint_path`` to persist every chunk boundary to disk and to
-    continue a killed run from its last boundary in a new process
-    (``tpuslam.harness.checkpoint``; shape/parameter mismatches are
-    rejected at load)."""
+    ``checkpoint_path`` to persist every chunk boundary — the final one
+    included — to disk and to continue a killed run from its last
+    boundary in a new process (``tpuslam.harness.checkpoint``).  A file
+    that does not match this run (different cloud fingerprints, shapes,
+    or loop parameters) is IGNORED with a notice and overwritten — it
+    is some other registration's state, never a resumable one — so
+    harness sweeps reusing one path stay correct.  A matching file
+    whose progress already meets ``max_iterations`` returns its state
+    as-is (idempotent re-run), with a notice when it overshoots the
+    request."""
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
     _prime_device()
@@ -377,6 +383,11 @@ def icp_register_chunked(
     if checkpoint_path is not None:
         import os as _os
 
+        from tpuslam.harness.checkpoint import (
+            cloud_fingerprint,
+            load_icp_checkpoint,
+        )
+
         ckpt_meta = {
             "n_pad": int(before.points.shape[0]),
             "m_pad": int(after.points.shape[0]),
@@ -384,14 +395,43 @@ def icp_register_chunked(
             "m": int(after.count),
             "eps": float(eps),
             "max_distance_squared": float(max_distance_squared),
+            "fp_before": cloud_fingerprint(before.points, before.mask()),
+            "fp_after": cloud_fingerprint(after.points, after.mask()),
         }
         if _os.path.exists(checkpoint_path):
-            from tpuslam.harness.checkpoint import load_icp_checkpoint
-
-            resume, _ = load_icp_checkpoint(
-                checkpoint_path, expect_meta=ckpt_meta
+            try:
+                loaded, _ = load_icp_checkpoint(
+                    checkpoint_path, expect_meta=ckpt_meta
+                )
+                resume = loaded
+                total = int(loaded.done_before)
+            except ValueError as exc:
+                print(
+                    f"[tpuslam] ignoring checkpoint {checkpoint_path} "
+                    f"(not this registration's state: {exc})"
+                )
+        if (
+            resume is not None
+            and max_iterations != -1
+            and total >= max_iterations
+        ):
+            if total > max_iterations:
+                print(
+                    f"[tpuslam] checkpoint already holds {total} "
+                    f"iterations (requested {max_iterations}); "
+                    f"returning its state"
+                )
+            return RegistrationResult(
+                transform=RigidTransform(
+                    rotation=jnp.asarray(resume.rotation, jnp.float32),
+                    translation=jnp.asarray(
+                        resume.translation, jnp.float32
+                    ),
+                    scale=jnp.float32(1.0),
+                ),
+                iterations=jnp.int32(total),
+                error=jnp.asarray(resume.error, jnp.float32),
             )
-            total = int(resume.done_before)
     while True:
         if max_iterations == -1:
             k = chunk
@@ -404,11 +444,6 @@ def icp_register_chunked(
         )
         did = int(result.iterations)
         total += did
-        # the loop body freezes the iteration counter when it stops
-        # (converged / diverged / no correspondences), so an early stop
-        # is exactly "fewer than the allowed k iterations ran"
-        if did < k or (max_iterations != -1 and total >= max_iterations):
-            break
         resume = ICPResume(
             rotation=result.transform.rotation,
             translation=result.transform.translation,
@@ -420,6 +455,11 @@ def icp_register_chunked(
             from tpuslam.harness.checkpoint import save_icp_checkpoint
 
             save_icp_checkpoint(checkpoint_path, resume, ckpt_meta)
+        # the loop body freezes the iteration counter when it stops
+        # (converged / diverged / no correspondences), so an early stop
+        # is exactly "fewer than the allowed k iterations ran"
+        if did < k or (max_iterations != -1 and total >= max_iterations):
+            break
     return RegistrationResult(
         transform=result.transform,
         iterations=jnp.int32(total),
@@ -436,6 +476,7 @@ def icp_register_prealigned(
     subcloud_size: int = 1000,
     seed: int = 0,
     chunk: int = 0,
+    checkpoint_path: Optional[str] = None,
     **kwargs,
 ) -> RegistrationResult:
     """ICP seeded by a one-shot NICP estimate (opt-in: ``icp-prealign``).
@@ -475,6 +516,12 @@ def icp_register_prealigned(
         eps=eps, max_distance_squared=max_distance_squared,
         max_iterations=max_iterations, resume=resume, **kwargs,
     )
-    if chunk:
-        return icp_register_chunked(before, after, chunk=chunk, **common)
+    if chunk or checkpoint_path:
+        # checkpointing requires the chunked driver (the chunk boundary
+        # is the durable unit); a matching checkpoint on disk holds
+        # post-seed progress and supersedes the fresh NICP seed
+        return icp_register_chunked(
+            before, after, chunk=chunk or 10,
+            checkpoint_path=checkpoint_path, **common,
+        )
     return icp_register(before, after, **common)

@@ -75,6 +75,33 @@ def icp_chunk_size(
     return 0
 
 
+def cpd_chunk_size(
+    n_max: int, m_max: int, max_iterations: int, backend: str,
+    chunk_env=None,
+) -> int:
+    """EM iterations per dispatch for chunked CPD (0 = whole loop).
+
+    CPD's per-iteration cost is O(N*M) pairs (the E-step), ~N times an
+    ICP NN iteration's effective cost on the hier path, so the gate is
+    PAIRS-based: one dispatch is sized at ~2e11 pair-evaluations (~4.6 s
+    at the measured 43.4 Gpairs/s E-step rate, ``bench_report.json``),
+    and chunking triggers at 5 dispatches' worth of total work.  CPD's
+    ``max_iterations = -1`` runs ZERO iterations (reference quirk,
+    ``coherentpointdrift.cpp:104``) and is never chunked."""
+    if chunk_env is not None:
+        try:
+            return max(0, int(chunk_env))
+        except ValueError:
+            return 0
+    if backend != "tpu" or max_iterations <= 0:
+        return 0
+    pairs = max(n_max, 1) * max(m_max, 1)
+    per_dispatch = max(1, min(50, int(2e11 // pairs)))
+    if pairs * max_iterations >= 5 * 2e11:
+        return per_dispatch
+    return 0
+
+
 @register(ComputationMethod.Icp)
 def _run_icp(
     before: np.ndarray, after: np.ndarray, config: Configuration
@@ -111,6 +138,7 @@ def _run_icp(
             pad_cloud(before), pad_cloud(after), chunk=chunk,
             subcloud_size=config.nicp_subcloud_size,
             seed=config.random_seed if config.random_seed is not None else 0,
+            checkpoint_path=os.environ.get("TPUSLAM_ICP_CKPT"),
             **common,
         )
     elif chunk:
@@ -187,16 +215,12 @@ def _run_cpd(
         use_fgt=config.cpd_use_fgt,
         centroid_init=config.cpd_centroid_init,
     )
-    # bound single-dispatch device time at large sizes exactly as ICP
-    # does (same work gate); CPD's -1 is zero iterations, never chunked
-    chunk = 0
-    if max_iterations > 0:
-        chunk = icp_chunk_size(
-            max(before.shape[0], after.shape[0]),
-            max_iterations,
-            jax.default_backend(),
-            os.environ.get("TPUSLAM_CPD_CHUNK"),
-        )
+    # bound single-dispatch device time at large sizes (pairs-based
+    # gate — one mustang-scale E-step is already seconds)
+    chunk = cpd_chunk_size(
+        before.shape[0], after.shape[0], max_iterations,
+        jax.default_backend(), os.environ.get("TPUSLAM_CPD_CHUNK"),
+    )
     if chunk:
         result = cpd_register_chunked(
             pad_cloud(before), pad_cloud(after), chunk=chunk,

@@ -1,16 +1,20 @@
 """Disk checkpoint/resume for long chunked registrations (SURVEY §5.4).
 
 The reference has no checkpointing (its runs are seconds–minutes,
-``documentation.tex``); at production scale a million-point ICP run is
-minutes of device time dispatched in warm-started chunks
-(``icp_register_chunked``), and each chunk boundary is already the
-exact loop state (``ICPResume``).  This module makes that boundary
-durable: ``save_icp_checkpoint`` after a chunk, ``load_icp_checkpoint``
-to continue in a new process — same trajectory, same iteration count.
+``documentation.tex``); at production scale a million-point ICP run or a
+mustang-scale CPD EM is minutes of device time dispatched in
+warm-started chunks (``icp_register_chunked`` / ``cpd_register_chunked``),
+and each chunk boundary is already the exact loop state.  This module
+makes that boundary durable: save after a chunk, load to continue in a
+new process — same trajectory, same iteration count.
 
-Format: one ``.npz`` with the resume leaves plus a JSON metadata blob
-(cloud shapes/counts and the loop parameters) that loading validates,
-so a checkpoint cannot silently resume a different registration.
+Format: one ``.npz`` with the resume leaves plus a JSON header
+(format version, checkpoint kind, and a metadata blob).  Loading
+validates the kind and every caller-expected metadata key — including
+cloud *fingerprints* (masked coordinate sums) the chunked drivers put
+there — so a checkpoint can never silently resume a different
+registration; the drivers treat a mismatch as "not my checkpoint" and
+start fresh (see ``icp_register_chunked``).
 """
 
 from __future__ import annotations
@@ -24,6 +28,49 @@ from tpuslam.algorithms.icp import ICPResume
 from tpuslam.ops.nn_hier import HierState
 
 _VERSION = 1
+
+
+def cloud_fingerprint(points, mask) -> float:
+    """Cheap content fingerprint for checkpoint metadata: the masked
+    coordinate sum (f32 accumulation — deterministic for identical
+    input on the same backend; any perturbation that changes the run,
+    e.g. the harness's 1e-4 warmup jitter, changes it)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(points * mask[:, None], dtype=jnp.float32))
+
+
+def _save(path: str, kind: str, arrays: dict, meta: Optional[dict]) -> None:
+    header = json.dumps(
+        {"version": _VERSION, "kind": kind, "meta": meta or {}}
+    )
+    arrays["header"] = np.frombuffer(header.encode(), dtype=np.uint8)
+    with open(path, "wb") as fh:
+        np.savez(fh, **arrays)
+
+
+def _load(z, kind: str, expect_meta: Optional[dict]) -> dict:
+    header = json.loads(bytes(z["header"]).decode())
+    if header.get("version") != _VERSION:
+        raise ValueError(
+            f"checkpoint version {header.get('version')} != {_VERSION}"
+        )
+    # files written before the kind tag existed were all ICP
+    if header.get("kind", "icp") != kind:
+        raise ValueError(
+            f"checkpoint mismatch on kind: stored "
+            f"{header.get('kind')!r}, expected {kind!r}"
+        )
+    meta = header.get("meta", {})
+    if expect_meta:
+        for key, want in expect_meta.items():
+            got = meta.get(key)
+            if got != want:
+                raise ValueError(
+                    f"checkpoint mismatch on {key!r}: stored {got!r}, "
+                    f"expected {want!r}"
+                )
+    return meta
 
 
 def save_icp_checkpoint(
@@ -44,39 +91,17 @@ def save_icp_checkpoint(
         arrays["nn_prev_pos"] = np.asarray(resume.nn.prev_pos, np.float32)
         arrays["nn_warm"] = np.asarray(resume.nn.warm, bool)
         arrays["nn_sparse"] = np.asarray(resume.nn.sparse, bool)
-    header = json.dumps(
-        {"version": _VERSION, "kind": "icp", "meta": meta or {}}
-    )
-    arrays["header"] = np.frombuffer(header.encode(), dtype=np.uint8)
-    with open(path, "wb") as fh:
-        np.savez(fh, **arrays)
+    _save(path, "icp", arrays, meta)
 
 
 def load_icp_checkpoint(
     path: str, expect_meta: Optional[dict] = None
 ) -> Tuple[ICPResume, dict]:
     """Load a checkpoint; if ``expect_meta`` is given, every key in it
-    must match the stored metadata exactly (shape/parameter guard)."""
+    must match the stored metadata exactly (shape/parameter/fingerprint
+    guard)."""
     with np.load(path) as z:
-        header = json.loads(bytes(z["header"]).decode())
-        if header.get("version") != _VERSION:
-            raise ValueError(
-                f"checkpoint version {header.get('version')} != {_VERSION}"
-            )
-        if header.get("kind") != "icp":
-            raise ValueError(
-                f"checkpoint mismatch on kind: stored "
-                f"{header.get('kind')!r}, expected 'icp'"
-            )
-        meta = header.get("meta", {})
-        if expect_meta:
-            for key, want in expect_meta.items():
-                got = meta.get(key)
-                if got != want:
-                    raise ValueError(
-                        f"checkpoint mismatch on {key!r}: stored {got!r}, "
-                        f"expected {want!r}"
-                    )
+        meta = _load(z, "icp", expect_meta)
         nn = None
         if "nn_prev_dist" in z:
             nn = HierState(
@@ -110,12 +135,7 @@ def save_cpd_checkpoint(
         "ntol": np.asarray(resume.ntol, np.float32),
         "done_before": np.asarray(resume.done_before, np.int32),
     }
-    header = json.dumps(
-        {"version": _VERSION, "kind": "cpd", "meta": meta or {}}
-    )
-    arrays["header"] = np.frombuffer(header.encode(), dtype=np.uint8)
-    with open(path, "wb") as fh:
-        np.savez(fh, **arrays)
+    _save(path, "cpd", arrays, meta)
 
 
 def load_cpd_checkpoint(path: str, expect_meta: Optional[dict] = None):
@@ -124,25 +144,7 @@ def load_cpd_checkpoint(path: str, expect_meta: Optional[dict] = None):
     from tpuslam.algorithms.cpd import CPDResume
 
     with np.load(path) as z:
-        header = json.loads(bytes(z["header"]).decode())
-        if header.get("version") != _VERSION:
-            raise ValueError(
-                f"checkpoint version {header.get('version')} != {_VERSION}"
-            )
-        if header.get("kind") != "cpd":
-            raise ValueError(
-                f"checkpoint mismatch on kind: stored "
-                f"{header.get('kind')!r}, expected 'cpd'"
-            )
-        meta = header.get("meta", {})
-        if expect_meta:
-            for key, want in expect_meta.items():
-                got = meta.get(key)
-                if got != want:
-                    raise ValueError(
-                        f"checkpoint mismatch on {key!r}: stored {got!r}, "
-                        f"expected {want!r}"
-                    )
+        meta = _load(z, "cpd", expect_meta)
         resume = CPDResume(
             rotation=z["rotation"],
             translation=z["translation"],
