@@ -49,22 +49,44 @@ def _wait_for_backend(attempts: int = 6, backoff_s: float = 180.0):
     parseable "backend unavailable" line rather than crashing, so an
     outage is recorded as an outage and never as a silent missing run.
     """
+    import subprocess
     import time as _time
 
+    # While the relay is DOWN (as opposed to a worker crash), backend init
+    # HANGS indefinitely instead of raising — so each attempt's probe must
+    # run in a bounded subprocess; only after a probe succeeds is jax
+    # initialized in this process (observed 2026-08-18: jax.devices()
+    # hung > 400 s during a multi-hour outage).
+    probe_src = (
+        "import jax, jax.numpy as jnp;"
+        "print('OK', float(jnp.sum(jnp.ones((8,128)))))"
+    )
     for attempt in range(attempts):
         try:
-            import jax
-            import jax.numpy as jnp
-
-            float(jnp.sum(jnp.ones((8, 128))))  # tiny priming dispatch
-            return jax
-        except RuntimeError as e:  # backend init / dispatch unavailable
-            print(
-                f"# backend attempt {attempt + 1}/{attempts} failed: {e}",
-                file=sys.stderr,
+            proc = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                capture_output=True,
+                text=True,
+                timeout=420,
+                env=dict(os.environ),
             )
-            if attempt < attempts - 1:
-                _time.sleep(backoff_s)
+            if proc.returncode == 0 and "OK" in proc.stdout:
+                import jax
+                import jax.numpy as jnp
+
+                float(jnp.sum(jnp.ones((8, 128))))  # prime THIS process
+                return jax
+            reason = (proc.stderr or proc.stdout)[-300:]
+        except subprocess.TimeoutExpired:
+            reason = "probe hung >420 s (relay down)"
+        except RuntimeError as e:  # in-process init raced a fresh outage
+            reason = str(e)
+        print(
+            f"# backend attempt {attempt + 1}/{attempts} failed: {reason}",
+            file=sys.stderr,
+        )
+        if attempt < attempts - 1:
+            _time.sleep(backoff_s)
     return None
 
 
