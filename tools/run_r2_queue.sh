@@ -37,11 +37,16 @@ run_step revalidate 2400 3 python tools/r2_revalidate.py
 # 2. large-cloud CPD (BASELINE config 4; first 376k compiles are slow)
 run_step cpd_large 5400 3 python tools/cpd_large.py
 
-# 3. prealigned-ICP convergence grid (225 cells, 5 shapes)
+# 3. full measured-numbers table refresh — includes the batched
+#    multi-pair throughput (BASELINE config 5) added after the last
+#    successful table run
+run_step bench_report 5400 2 python tools/bench_report.py
+
+# 4. prealigned-ICP convergence grid (225 cells, 5 shapes)
 run_step conv_prealign 10800 2 \
   env TPUSLAM_CONV_PREALIGN=1 python tools/convergence_study.py
 
-# 4. headline bench sanity
+# 5. headline bench sanity
 run_step bench 2400 2 python bench.py
 
 echo "=== r2 queue done $(date -u +%FT%TZ) ===" >> "$LOG"
