@@ -59,8 +59,23 @@ def _wait_for_backend(attempts: int = 6, backoff_s: float = 180.0):
     # hung > 400 s during a multi-hour outage).
     probe_src = (
         "import jax, jax.numpy as jnp;"
-        "print('OK', float(jnp.sum(jnp.ones((8,128)))))"
+        "v = float(jnp.sum(jnp.ones((8,128))));"
+        "print('OK', jax.default_backend(), v)"
     )
+    # when the environment pins a non-cpu platform (JAX_PLATFORMS=axon
+    # here), a probe that comes back as cpu is a silent fallback during
+    # an outage — rejecting it keeps the promise that an outage is
+    # recorded as an outage, never as CPU numbers
+    pinned = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+    require_accelerator = bool(pinned) and pinned != "cpu"
+
+    def _probe_ok(stdout: str) -> bool:
+        for line in stdout.splitlines():
+            if line.startswith("OK "):
+                backend = line.split()[1]
+                return not (require_accelerator and backend == "cpu")
+        return False
+
     for attempt in range(attempts):
         try:
             proc = subprocess.run(
@@ -70,7 +85,7 @@ def _wait_for_backend(attempts: int = 6, backoff_s: float = 180.0):
                 timeout=420,
                 env=dict(os.environ),
             )
-            if proc.returncode == 0 and "OK" in proc.stdout:
+            if proc.returncode == 0 and _probe_ok(proc.stdout):
                 import jax
                 import jax.numpy as jnp
 

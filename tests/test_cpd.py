@@ -409,3 +409,37 @@ def test_checkpoint_mismatch_starts_fresh(rng, tmp_path, capsys):
         np.asarray(resumed.transform.rotation),
         np.asarray(clean.transform.rotation),
     )
+
+
+def test_checkpoint_corrupt_file_starts_fresh_cpd(rng, tmp_path, capsys):
+    """Truncated/zero-byte checkpoint files are ignored (fresh start,
+    overwrite), never a crash — the exact kill-during-save scenario
+    checkpointing exists for."""
+    from tpuslam.algorithms.cpd import cpd_register_chunked
+    from tpuslam.harness.checkpoint import load_cpd_checkpoint
+
+    before = (rng.random((200, 3)) * 6.0 - 3.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.2, trans=0.5)
+    after = (before @ r.T + t)[rng.permutation(200)].astype(np.float32)
+    kw = dict(max_iterations=6, chunk=3, weight=0.1)
+    clean = cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), **kw
+    )
+    ck = str(tmp_path / "cpd.ckpt.npz")
+    cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), checkpoint_path=ck, **kw
+    )
+    blob = open(ck, "rb").read()
+    for corrupt in (b"", blob[: len(blob) // 2]):
+        with open(ck, "wb") as fh:
+            fh.write(corrupt)
+        res = cpd_register_chunked(
+            pad_cloud(before), pad_cloud(after),
+            checkpoint_path=ck, **kw,
+        )
+        assert "ignoring checkpoint" in capsys.readouterr().out
+        np.testing.assert_array_equal(
+            np.asarray(res.transform.rotation),
+            np.asarray(clean.transform.rotation),
+        )
+        load_cpd_checkpoint(ck)  # overwritten with a valid boundary

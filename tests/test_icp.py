@@ -555,3 +555,182 @@ def test_registry_checkpoint_env(rng, monkeypatch, tmp_path):
     np.testing.assert_array_equal(cont[0], whole[0])
     np.testing.assert_array_equal(cont[1], whole[1])
     assert cont[2] == whole[2] and cont[3] == whole[3]
+
+
+def test_checkpoint_corrupt_file_starts_fresh(rng, tmp_path, capsys):
+    """A truncated or zero-byte file at the checkpoint path (a killed
+    legacy save, or a foreign file) is 'not my checkpoint': the driver
+    starts fresh and overwrites it instead of crashing at load time."""
+    from tpuslam.algorithms.icp import icp_register_chunked
+    from tpuslam.harness.checkpoint import load_icp_checkpoint
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.2, 1.0)
+    after = (cloud @ r_true.T + t_true).astype(np.float32)
+    kw = dict(max_iterations=6, chunk=3, eps=0.0)
+    clean = icp_register_chunked(pad_cloud(cloud), pad_cloud(after), **kw)
+
+    ck = str(tmp_path / "icp.ckpt.npz")
+    # build a real checkpoint, then truncate it mid-file
+    icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), checkpoint_path=ck, **kw
+    )
+    blob = open(ck, "rb").read()
+    for corrupt in (b"", blob[: len(blob) // 2]):
+        with open(ck, "wb") as fh:
+            fh.write(corrupt)
+        res = icp_register_chunked(
+            pad_cloud(cloud), pad_cloud(after), checkpoint_path=ck, **kw
+        )
+        assert "ignoring checkpoint" in capsys.readouterr().out
+        np.testing.assert_array_equal(
+            np.asarray(res.transform.rotation),
+            np.asarray(clean.transform.rotation),
+        )
+        assert int(res.iterations) == int(clean.iterations)
+        # the corrupt file was overwritten with a valid boundary
+        load_icp_checkpoint(ck)
+
+
+def test_checkpoint_prealign_and_cold_not_interchangeable(rng, tmp_path):
+    """A cold-start checkpoint must not be accepted by a prealigned run
+    of the same clouds/parameters (and vice versa): the runs follow
+    different trajectories, so resuming across them would silently
+    return the wrong arm's result (checkpoint meta carries `prealign`)."""
+    import os
+
+    from tpuslam.algorithms.icp import (
+        icp_register_chunked,
+        icp_register_prealigned,
+    )
+
+    cloud = make_cloud(rng, 400)
+    r_true, t_true = random_rigid(rng, 1.2, 6.0)  # outside cold basin
+    after = (cloud @ r_true.T + t_true)[rng.permutation(400)].astype(
+        np.float32
+    )
+    kw = dict(max_iterations=8, eps=0.0, max_distance_squared=1e6)
+    ck = str(tmp_path / "icp.ckpt.npz")
+
+    cold = icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), chunk=4,
+        checkpoint_path=ck, **kw,
+    )
+    assert os.path.exists(ck)
+    pre_fresh = icp_register_prealigned(
+        pad_cloud(cloud), pad_cloud(after), chunk=4, **kw
+    )
+    # the two arms genuinely differ on this motion
+    assert not np.allclose(
+        np.asarray(cold.transform.rotation),
+        np.asarray(pre_fresh.transform.rotation),
+        atol=1e-3,
+    )
+    # prealigned run over the cold checkpoint: ignores it, matches the
+    # fresh prealigned result bit-for-bit
+    pre_over_cold = icp_register_prealigned(
+        pad_cloud(cloud), pad_cloud(after), chunk=4,
+        checkpoint_path=ck, **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pre_over_cold.transform.rotation),
+        np.asarray(pre_fresh.transform.rotation),
+    )
+    # and the reverse: a cold run over the (now prealigned) checkpoint
+    cold_over_pre = icp_register_chunked(
+        pad_cloud(cloud), pad_cloud(after), chunk=4,
+        checkpoint_path=ck, **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cold_over_pre.transform.rotation),
+        np.asarray(cold.transform.rotation),
+    )
+
+
+def test_prealign_resume_skips_seed_computation(rng, tmp_path, monkeypatch):
+    """An idempotent re-run (or continue) of a checkpointed prealigned
+    registration loads the post-seed boundary from disk and never pays
+    the NICP seed again."""
+    import tpuslam.algorithms.nicp as nicp_mod
+    from tpuslam.algorithms.icp import icp_register_prealigned
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.8, 4.0)
+    after = (cloud @ r_true.T + t_true).astype(np.float32)
+    kw = dict(max_iterations=6, eps=0.0, max_distance_squared=1e6)
+    ck = str(tmp_path / "pre.ckpt.npz")
+
+    calls = []
+    real = nicp_mod.nicp_register
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(nicp_mod, "nicp_register", counting)
+    first = icp_register_prealigned(
+        pad_cloud(cloud), pad_cloud(after), chunk=3,
+        checkpoint_path=ck, **kw,
+    )
+    assert len(calls) == 1
+    again = icp_register_prealigned(
+        pad_cloud(cloud), pad_cloud(after), chunk=3,
+        checkpoint_path=ck, **kw,
+    )
+    assert len(calls) == 1  # seed superseded by the on-disk boundary
+    np.testing.assert_array_equal(
+        np.asarray(again.transform.rotation),
+        np.asarray(first.transform.rotation),
+    )
+    assert int(again.iterations) == int(first.iterations)
+
+
+def test_registry_ckpt_env_alone_forces_chunked(rng, monkeypatch, tmp_path):
+    """TPUSLAM_ICP_CKPT without TPUSLAM_ICP_CHUNK (and below the TPU
+    auto-chunk gate, as on this CPU backend) must still persist
+    boundaries — the env var forces the chunked driver rather than
+    being silently ignored."""
+    import os
+
+    from tpuslam.algorithms.registry import run_with_configuration
+    from tpuslam.config.configuration import Configuration
+
+    cloud = make_cloud(rng, 300)
+    r_true, t_true = random_rigid(rng, 0.3, 2.0)
+    after = (cloud @ r_true.T + t_true).astype(np.float32)
+    config = Configuration(
+        max_iterations=12, max_distance_squared=1e4,
+        convergence_epsilon=0.0,
+    )
+    monkeypatch.delenv("TPUSLAM_ICP_CHUNK", raising=False)
+    whole = run_with_configuration(cloud, after, config)
+    ck = str(tmp_path / "forced.ckpt.npz")
+    monkeypatch.setenv("TPUSLAM_ICP_CKPT", ck)
+    config_part = Configuration(
+        max_iterations=5, max_distance_squared=1e4,
+        convergence_epsilon=0.0,
+    )
+    run_with_configuration(cloud, after, config_part)
+    assert os.path.exists(ck)  # boundary persisted despite chunk gate 0
+    cont = run_with_configuration(cloud, after, config)
+    np.testing.assert_array_equal(cont[0], whole[0])
+    assert cont[2] == whole[2] and cont[3] == whole[3]
+
+
+def test_cloud_fingerprint_discriminates(rng):
+    """The fingerprint separates row permutations (warm NN bounds are
+    per-row), centered clouds (sum alone collapses toward 0), and
+    rotations of the same centered cloud."""
+    from tpuslam.harness.checkpoint import cloud_fingerprint
+
+    pts = make_cloud(rng, 500)
+    pts -= pts.mean(axis=0)  # centered: plain sum ~ 0
+    c = pad_cloud(pts)
+    fp = cloud_fingerprint(c.points, c.mask())
+    perm = pad_cloud(pts[rng.permutation(len(pts))])
+    fp_perm = cloud_fingerprint(perm.points, perm.mask())
+    assert fp != fp_perm
+    r, _ = random_rigid(rng, 0.7, 0.0)
+    rot = pad_cloud((pts @ r.T).astype(np.float32))
+    fp_rot = cloud_fingerprint(rot.points, rot.mask())
+    assert fp != fp_rot

@@ -698,11 +698,9 @@ def cpd_register_chunked(
     resume = None
     ckpt_meta = None
     if checkpoint_path is not None:
-        import os as _os
-
         from tpuslam.harness.checkpoint import (
             cloud_fingerprint,
-            load_cpd_checkpoint,
+            load_resume_or_none,
         )
 
         # every trajectory-determining EM parameter is validated, so a
@@ -731,17 +729,9 @@ def cpd_register_chunked(
             "fp_before": cloud_fingerprint(before.points, before.mask()),
             "fp_after": cloud_fingerprint(after.points, after.mask()),
         }
-        if _os.path.exists(checkpoint_path):
-            try:
-                resume, _ = load_cpd_checkpoint(
-                    checkpoint_path, expect_meta=ckpt_meta
-                )
-                total = int(resume.done_before)
-            except ValueError as exc:
-                print(
-                    f"[tpuslam] ignoring checkpoint {checkpoint_path} "
-                    f"(not this registration's state: {exc})"
-                )
+        resume = load_resume_or_none(checkpoint_path, "cpd", ckpt_meta)
+        if resume is not None:
+            total = int(resume.done_before)
         if resume is not None and total >= max_iterations:
             if total > max_iterations:
                 print(

@@ -340,6 +340,38 @@ def icp_register(
     )
 
 
+def _icp_ckpt_meta(
+    before: Cloud,
+    after: Cloud,
+    eps: float,
+    max_distance_squared: float,
+    divergence_guard: bool,
+    extra: Optional[dict] = None,
+) -> dict:
+    """Checkpoint metadata for a chunked ICP run: shapes, cloud
+    fingerprints, and every trajectory-determining loop parameter —
+    including whether the run was NICP-prealigned (``prealign`` is
+    False here and overridden by ``icp_register_prealigned``), so a
+    cold-start checkpoint can never be resumed as a prealigned result
+    or vice versa.  Backend-arm selectors (``use_pallas``/hier NN) are
+    deliberately absent: every NN arm is bit-exact to the oracle, so
+    they do not determine the trajectory."""
+    from tpuslam.harness.checkpoint import cloud_fingerprint
+
+    meta = {
+        "n_pad": int(before.points.shape[0]),
+        "m_pad": int(after.points.shape[0]),
+        "n": int(before.count),
+        "m": int(after.count),
+        "eps": float(eps),
+        "max_distance_squared": float(max_distance_squared),
+        "divergence_guard": bool(divergence_guard),
+        "prealign": False,
+        "fp_before": cloud_fingerprint(before.points, before.mask()),
+        "fp_after": cloud_fingerprint(after.points, after.mask()),
+    }
+    meta.update(extra or {})
+    return meta
 
 
 def icp_register_chunked(
@@ -351,6 +383,7 @@ def icp_register_chunked(
     chunk: int = 10,
     resume: Optional[ICPResume] = None,
     checkpoint_path: Optional[str] = None,
+    checkpoint_extra_meta: Optional[dict] = None,
     **kwargs,
 ) -> RegistrationResult:
     """``icp_register`` dispatched ``chunk`` iterations at a time, the
@@ -381,35 +414,17 @@ def icp_register_chunked(
     total = 0
     ckpt_meta = None
     if checkpoint_path is not None:
-        import os as _os
+        from tpuslam.harness.checkpoint import load_resume_or_none
 
-        from tpuslam.harness.checkpoint import (
-            cloud_fingerprint,
-            load_icp_checkpoint,
+        ckpt_meta = _icp_ckpt_meta(
+            before, after, eps, max_distance_squared,
+            divergence_guard=bool(kwargs.get("divergence_guard", True)),
+            extra=checkpoint_extra_meta,
         )
-
-        ckpt_meta = {
-            "n_pad": int(before.points.shape[0]),
-            "m_pad": int(after.points.shape[0]),
-            "n": int(before.count),
-            "m": int(after.count),
-            "eps": float(eps),
-            "max_distance_squared": float(max_distance_squared),
-            "fp_before": cloud_fingerprint(before.points, before.mask()),
-            "fp_after": cloud_fingerprint(after.points, after.mask()),
-        }
-        if _os.path.exists(checkpoint_path):
-            try:
-                loaded, _ = load_icp_checkpoint(
-                    checkpoint_path, expect_meta=ckpt_meta
-                )
-                resume = loaded
-                total = int(loaded.done_before)
-            except ValueError as exc:
-                print(
-                    f"[tpuslam] ignoring checkpoint {checkpoint_path} "
-                    f"(not this registration's state: {exc})"
-                )
+        loaded = load_resume_or_none(checkpoint_path, "icp", ckpt_meta)
+        if loaded is not None:
+            resume = loaded
+            total = int(loaded.done_before)
         if (
             resume is not None
             and max_iterations != -1
@@ -502,26 +517,52 @@ def icp_register_prealigned(
     """
     from tpuslam.algorithms.nicp import nicp_register
 
-    pre = nicp_register(
-        before, after, eps=eps, subcloud_size=subcloud_size, seed=seed,
-        use_pallas=kwargs.get("use_pallas"),
-    )
-    resume = ICPResume(
-        rotation=pre.transform.rotation,
-        translation=pre.transform.translation,
-        error=jnp.float32(1e5),  # reporting init, basicicp.cpp:26
-        prev_error=FLT_MAX,  # cold-start guard seed
-    )
+    extra_meta = {
+        "prealign": True,
+        "prealign_subcloud": int(subcloud_size),
+        "prealign_seed": int(seed),
+    }
+    resume = None
+    if checkpoint_path is not None:
+        # a matching on-disk checkpoint holds post-seed progress that
+        # supersedes a fresh NICP shot — load it up front so resumes
+        # and idempotent re-runs never pay the seed computation (the
+        # chunked driver re-validates the same file and prints any
+        # mismatch notice, hence quiet here)
+        from tpuslam.harness.checkpoint import load_resume_or_none
+
+        resume = load_resume_or_none(
+            checkpoint_path, "icp",
+            _icp_ckpt_meta(
+                before, after, eps, max_distance_squared,
+                divergence_guard=bool(
+                    kwargs.get("divergence_guard", True)
+                ),
+                extra=extra_meta,
+            ),
+            quiet=True,
+        )
+    if resume is None:
+        pre = nicp_register(
+            before, after, eps=eps, subcloud_size=subcloud_size,
+            seed=seed, use_pallas=kwargs.get("use_pallas"),
+        )
+        resume = ICPResume(
+            rotation=pre.transform.rotation,
+            translation=pre.transform.translation,
+            error=jnp.float32(1e5),  # reporting init, basicicp.cpp:26
+            prev_error=FLT_MAX,  # cold-start guard seed
+        )
     common = dict(
         eps=eps, max_distance_squared=max_distance_squared,
         max_iterations=max_iterations, resume=resume, **kwargs,
     )
     if chunk or checkpoint_path:
         # checkpointing requires the chunked driver (the chunk boundary
-        # is the durable unit); a matching checkpoint on disk holds
-        # post-seed progress and supersedes the fresh NICP seed
+        # is the durable unit)
         return icp_register_chunked(
             before, after, chunk=chunk or 10,
-            checkpoint_path=checkpoint_path, **common,
+            checkpoint_path=checkpoint_path,
+            checkpoint_extra_meta=extra_meta, **common,
         )
     return icp_register(before, after, **common)

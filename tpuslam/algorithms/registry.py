@@ -131,6 +131,12 @@ def _run_icp(
         max_distance_squared=config.max_distance_squared,
         max_iterations=max_iterations,
     )
+    # TPUSLAM_ICP_CKPT=path persists every chunk boundary so a killed
+    # run (`python -m tpuslam cfg.json`) continues from disk
+    # (tpuslam.harness.checkpoint); checkpointing requires the chunked
+    # driver (the boundary is the durable unit), so setting it forces
+    # chunked dispatch even below the auto-chunk work gate / off-TPU
+    ckpt = os.environ.get("TPUSLAM_ICP_CKPT")
     if config.icp_prealign:
         from tpuslam.algorithms.icp import icp_register_prealigned
 
@@ -138,16 +144,13 @@ def _run_icp(
             pad_cloud(before), pad_cloud(after), chunk=chunk,
             subcloud_size=config.nicp_subcloud_size,
             seed=config.random_seed if config.random_seed is not None else 0,
-            checkpoint_path=os.environ.get("TPUSLAM_ICP_CKPT"),
+            checkpoint_path=ckpt,
             **common,
         )
-    elif chunk:
+    elif chunk or ckpt:
         result = icp_register_chunked(
-            pad_cloud(before), pad_cloud(after), chunk=chunk,
-            # TPUSLAM_ICP_CKPT=path persists every chunk boundary so a
-            # killed run (`python -m tpuslam cfg.json`) continues from
-            # disk (tpuslam.harness.checkpoint)
-            checkpoint_path=os.environ.get("TPUSLAM_ICP_CKPT"),
+            pad_cloud(before), pad_cloud(after), chunk=chunk or 10,
+            checkpoint_path=ckpt,
             **common,
         )
     else:
@@ -221,10 +224,13 @@ def _run_cpd(
         before.shape[0], after.shape[0], max_iterations,
         jax.default_backend(), os.environ.get("TPUSLAM_CPD_CHUNK"),
     )
-    if chunk:
+    # setting TPUSLAM_CPD_CKPT forces the chunked driver (same contract
+    # as TPUSLAM_ICP_CKPT: the chunk boundary is the durable unit)
+    ckpt = os.environ.get("TPUSLAM_CPD_CKPT")
+    if chunk or ckpt:
         result = cpd_register_chunked(
-            pad_cloud(before), pad_cloud(after), chunk=chunk,
-            checkpoint_path=os.environ.get("TPUSLAM_CPD_CKPT"),
+            pad_cloud(before), pad_cloud(after), chunk=chunk or 10,
+            checkpoint_path=ckpt,
             **common,
         )
     else:

@@ -20,7 +20,9 @@ start fresh (see ``icp_register_chunked``).
 from __future__ import annotations
 
 import json
-from typing import Optional, Tuple
+import os
+import zipfile
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -29,15 +31,51 @@ from tpuslam.ops.nn_hier import HierState
 
 _VERSION = 1
 
+# everything a checkpoint file can throw at a loader: metadata mismatch
+# (ValueError), a truncated/zero-byte file from a killed legacy save
+# (BadZipFile / EOFError / OSError), or a well-formed npz missing our
+# arrays (KeyError).  All of them mean "not my checkpoint" to a driver.
+LOAD_ERRORS = (
+    ValueError,
+    OSError,
+    EOFError,
+    KeyError,
+    zipfile.BadZipFile,
+    json.JSONDecodeError,
+)
 
-def cloud_fingerprint(points, mask) -> float:
-    """Cheap content fingerprint for checkpoint metadata: the masked
-    coordinate sum (f32 accumulation — deterministic for identical
-    input on the same backend; any perturbation that changes the run,
-    e.g. the harness's 1e-4 warmup jitter, changes it)."""
+
+def cloud_fingerprint(points, mask) -> List[float]:
+    """Cheap content fingerprint for checkpoint metadata: masked
+    per-axis coordinate sums, the masked sum of squares, and a
+    row-order-weighted sum (f32 accumulation — deterministic for
+    identical input on the same backend; any perturbation that changes
+    the run, e.g. the harness's 1e-4 warmup jitter, changes it).
+
+    Each term closes a degeneracy a plain coordinate sum has: per-axis
+    sums don't collapse toward 0 under rotation the way a total sum of
+    a centered cloud does; the sum of squares separates clouds whose
+    sums coincide; and the order-weighted term separates row
+    PERMUTATIONS of the same cloud — those produce the same transform
+    but different per-row hier-NN warm bounds, which a resume carries
+    (``ICPResume.nn``), so row order is part of the state's identity."""
     import jax.numpy as jnp
 
-    return float(jnp.sum(points * mask[:, None], dtype=jnp.float32))
+    masked = points * mask[:, None]
+    sums = jnp.sum(masked, axis=0, dtype=jnp.float32)
+    ssq = jnp.sum(masked * masked, dtype=jnp.float32)
+    w = (
+        jnp.arange(1, points.shape[0] + 1, dtype=jnp.float32)
+        / points.shape[0]
+    )
+    ordered = jnp.sum(masked * w[:, None], dtype=jnp.float32)
+    return [
+        float(sums[0]),
+        float(sums[1]),
+        float(sums[2]),
+        float(ssq),
+        float(ordered),
+    ]
 
 
 def _save(path: str, kind: str, arrays: dict, meta: Optional[dict]) -> None:
@@ -45,8 +83,18 @@ def _save(path: str, kind: str, arrays: dict, meta: Optional[dict]) -> None:
         {"version": _VERSION, "kind": kind, "meta": meta or {}}
     )
     arrays["header"] = np.frombuffer(header.encode(), dtype=np.uint8)
-    with open(path, "wb") as fh:
-        np.savez(fh, **arrays)
+    # atomic: a run killed mid-save (the exact scenario checkpointing
+    # exists for) must never leave a truncated file at `path`
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **arrays)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load(z, kind: str, expect_meta: Optional[dict]) -> dict:
@@ -155,3 +203,30 @@ def load_cpd_checkpoint(path: str, expect_meta: Optional[dict] = None):
             done_before=int(z["done_before"]),
         )
     return resume, meta
+
+
+def load_resume_or_none(
+    path: str,
+    kind: str,
+    expect_meta: Optional[dict],
+    quiet: bool = False,
+):
+    """The chunked drivers' shared load policy: return the resume state
+    when ``path`` holds a checkpoint matching ``expect_meta`` exactly,
+    else ``None`` — treating a missing, mismatched, truncated, or
+    corrupt file identically as "not this registration's state" (start
+    fresh and overwrite).  Prints one notice for non-missing failures
+    unless ``quiet``."""
+    if not os.path.exists(path):
+        return None
+    loader = load_icp_checkpoint if kind == "icp" else load_cpd_checkpoint
+    try:
+        resume, _ = loader(path, expect_meta=expect_meta)
+        return resume
+    except LOAD_ERRORS as exc:
+        if not quiet:
+            print(
+                f"[tpuslam] ignoring checkpoint {path} "
+                f"(not this registration's state: {exc!r})"
+            )
+        return None
