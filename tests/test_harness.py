@@ -292,3 +292,29 @@ def test_cli_unknown_method_friendly_error(capsys):
     rc = run_test_set_cli(["sizes", "--methods", "icp,nipc"])
     assert rc == 1
     assert "Unknown method" in capsys.readouterr().out
+
+
+def test_cli_platform_flag(tmp_path, capsys):
+    """``--platform cpu`` is consumed before dispatch and the rest of
+    the argv contract is unchanged (0 remaining args -> default.json
+    would load; here we use an explicit tiny config)."""
+    import json
+
+    from tpuslam.harness.cli import main
+
+    cfg = {
+        "method": "icp",
+        "before-path": "data/bunny.obj",
+        "after-path": "data/bunny.obj",
+        "cloud-before-resize": 200,
+        "cloud-after-resize": 200,
+        "random-seed": 7,
+        "rotation-range": 0.2,
+        "translation-range": 1.0,
+        "max-iterations": 5,
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    assert main(["--platform", "cpu", str(path)]) == 0
+    out = capsys.readouterr().out
+    assert "Results for the icp method" in out

@@ -12,6 +12,11 @@ macro (``gpumain.cpp:40-57`` — SURVEY §2.4 "TEST hook"):
     python -m tpuslam --test-set sizes [--methods icp,nicp,cpd] [--out DIR]
                       [--warmup] [--resume]
 
+``--platform cpu|tpu`` (before any other argument) forces the JAX
+backend — e.g. ``--platform cpu`` keeps the CLI usable when the TPU
+relay is unreachable (backend init on a dead relay hangs rather than
+raising).
+
 ``--warmup`` runs each test once untimed before the timed run so jit
 compilation never lands in the CSV ``time(ms)`` column.
 """
@@ -122,6 +127,16 @@ def run_test_set_cli(args: List[str]) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) >= 2 and argv[0] == "--platform":
+        # force a JAX backend before any jax import touches the device
+        # (harness extension, like --test-set): `--platform cpu` keeps
+        # the CLI usable when the TPU relay is unreachable — backend
+        # init on a dead relay HANGS rather than raising, with no
+        # in-process recourse once jax has started initializing
+        import jax
+
+        jax.config.update("jax_platforms", argv[1])
+        argv = argv[2:]
     if argv and argv[0] == "--test-set":
         return run_test_set_cli(argv[1:])
     return run_config(argv)
