@@ -87,9 +87,10 @@ def _wait_for_backend(attempts: int = 6, backoff_s: float = 180.0):
             )
             if proc.returncode == 0 and _probe_ok(proc.stdout):
                 import jax
-                import jax.numpy as jnp
 
-                float(jnp.sum(jnp.ones((8, 128))))  # prime THIS process
+                from tpuslam.core.device import prime_device
+
+                prime_device()  # prime THIS process (and mark it so)
                 return jax
             reason = (proc.stderr or proc.stdout)[-300:]
         except subprocess.TimeoutExpired:

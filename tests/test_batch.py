@@ -185,3 +185,39 @@ def test_register_pairs_prealign(rng):
             np.sum((b @ rots[i].T + trs[i] - (b @ r.T + t)) ** 2, -1)
         )
         assert mse < 1e-3
+
+
+def test_register_pairs_cpd_honors_all_config_fields(rng):
+    """The CPD arm of register_pairs must carry every
+    trajectory-determining config field (cpd-use-fgt, centroid init,
+    FGT shape knobs) — a dropped field silently diverges from the
+    documented 'equals its solo register run' contract."""
+    import numpy as np
+
+    import tpuslam
+    from tests.conftest import make_cloud, random_rigid
+
+    pairs = []
+    for k in range(2):
+        before = make_cloud(rng, 200)
+        r, t = random_rigid(rng, angle=0.15, trans=0.4)
+        pairs.append((before, (before @ r.T + t).astype(np.float32)))
+    befores = [p[0] for p in pairs]
+    afters = [p[1] for p in pairs]
+
+    kwargs = dict(
+        computation_method=tpuslam.ComputationMethod.Cpd,
+        max_iterations=8,
+        cpd_use_fgt=True,
+        approximation_type=tpuslam.ApproximationType.Hybrid,
+        cpd_centroid_init=True,
+        order_of_truncation=6,
+    )
+    rots, ts, iters, errs = tpuslam.register_pairs(
+        befores, afters, **kwargs
+    )
+    for i, (bf, af) in enumerate(pairs):
+        r1, t1, it1, e1 = tpuslam.register(bf, af, **kwargs)
+        np.testing.assert_allclose(rots[i], r1, atol=1e-4)
+        np.testing.assert_allclose(ts[i], t1, atol=1e-4)
+        assert int(iters[i]) == int(it1)

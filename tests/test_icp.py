@@ -296,7 +296,11 @@ def test_icp_chunk_size_gate():
     # explicit env override wins everywhere
     assert icp_chunk_size(10**6, 50, "tpu", "7") == 7
     assert icp_chunk_size(10**6, 50, "tpu", "0") == 0
-    assert icp_chunk_size(10**6, 50, "tpu", "junk") == 0
+    # a malformed override falls back to the AUTO gate (fail safe): a
+    # typo must not silently disable chunking and re-create the
+    # multi-minute-dispatch crash mode the gate exists to prevent
+    assert icp_chunk_size(10**6, 50, "tpu", "junk") == 5
+    assert icp_chunk_size(100_000, 50, "tpu", "junk") == 0
     # CPU never chunks
     assert icp_chunk_size(10**7, -1, "cpu") == 0
     # small bounded runs dispatch whole

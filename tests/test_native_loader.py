@@ -228,3 +228,26 @@ def test_int_token_grammar_fuzz_parity(tmp_path):
         native, oracle = _loads(f)
         assert native.shape == oracle.shape, (tok, native.shape, oracle.shape)
         np.testing.assert_array_equal(native, oracle, err_msg=repr(tok))
+
+
+@pytest.mark.parametrize("sep", ["\n", "\r", "\r\n"])
+def test_newline_convention_parity(tmp_path, sep):
+    """The Python oracle reads text mode with universal newlines ('\\r',
+    '\\r\\n', and '\\n' all break lines), so the native parser must
+    split identically — '\\n'-only splitting merges classic-Mac lines
+    into divergent non-empty geometry (r2 review finding)."""
+    obj = sep.join(["v 1 2 3", "v 4 5 6", "v 7 8 9", "f 1 2 3", ""])
+    p = tmp_path / "nl.obj"
+    p.write_bytes(obj.encode())
+    native, oracle = _loads(p)
+    assert oracle.shape == (3, 3)  # sanity: the oracle sees 3 corners
+    assert native.shape == oracle.shape
+    np.testing.assert_array_equal(native, oracle)
+
+    off = sep.join(["OFF 3 0 0", "0 0 1", "0 1 0 # c", "1 0 0", ""])
+    q = tmp_path / "nl.off"
+    q.write_bytes(off.encode())
+    native, oracle = _loads(q)
+    assert oracle.shape == (3, 3)
+    assert native.shape == oracle.shape
+    np.testing.assert_array_equal(native, oracle)

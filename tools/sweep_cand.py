@@ -169,11 +169,13 @@ def main():
             jnp.arange(live, dtype=jnp.int32)[None, :], (ts, 1)
         )
 
-        def run(i, cand=cand, target=target, g=g, gsrc=gsrc,
-                slots=slots):
+        counts = jnp.full((ts,), live, dtype=jnp.int32)  # all slots live
+
+        def run(i, cand=cand, counts=counts, target=target, g=g,
+                gsrc=gsrc, slots=slots):
             _, d = nearest_neighbors_cand(
                 pert(src_sorted, jnp.float32(i)), target.packed,
-                cand, g=g, gsrc=gsrc, slots=slots)
+                cand, counts, g=g, gsrc=gsrc, slots=slots)
             return d
 
         t = timeit(run)

@@ -120,6 +120,10 @@ def register_pairs(befores, afters, config=None, **overrides):
             max_iterations=max_iterations,
             tolerance=config.cpd_tolerance,
             approximation_type=config.approximation_type,
+            use_fgt=config.cpd_use_fgt,
+            order_of_truncation=config.order_of_truncation,
+            ratio_of_far_field=config.ratio_of_far_field,
+            centroid_init=config.cpd_centroid_init,
         )
         # the reference returns (scale * R, t) (coherentpointdrift.cpp:123)
         rotation = np.asarray(res.transform.scale)[:, None, None] * (

@@ -89,7 +89,13 @@ def nicp_register_batch(
     return jax.vmap(fn)(befores, afters)
 
 
-@partial(jax.jit, static_argnames=("const_scale", "approximation_type"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "const_scale", "approximation_type", "use_fgt", "fgt_k",
+        "order_of_truncation", "centroid_init",
+    ),
+)
 def cpd_register_batch(
     befores: Cloud,
     afters: Cloud,
@@ -99,8 +105,15 @@ def cpd_register_batch(
     max_iterations: int = -1,
     tolerance: float = 1e-3,
     approximation_type: ApproximationType = ApproximationType.NONE,
+    use_fgt: bool = False,
+    fgt_k: int = 128,
+    order_of_truncation: int = 8,
+    ratio_of_far_field: float = 10.0,
+    centroid_init: bool = False,
 ) -> RegistrationResult:
-    """vmapped ``cpd_register`` over the leading pair axis."""
+    """vmapped ``cpd_register`` over the leading pair axis — every
+    trajectory-determining knob of the solo path is accepted, so each
+    pair's result equals its solo run."""
     from tpuslam.algorithms.cpd import cpd_register
 
     fn = partial(
@@ -111,6 +124,11 @@ def cpd_register_batch(
         max_iterations=max_iterations,
         tolerance=tolerance,
         approximation_type=approximation_type,
+        use_fgt=use_fgt,
+        fgt_k=fgt_k,
+        order_of_truncation=order_of_truncation,
+        ratio_of_far_field=ratio_of_far_field,
+        centroid_init=centroid_init,
         use_pallas=None,  # auto: batched Pallas E-step on TPU
     )
     return jax.vmap(fn)(befores, afters)

@@ -62,7 +62,13 @@ def icp_chunk_size(
         try:
             return max(0, int(chunk_env))
         except ValueError:
-            return 0
+            # fail SAFE: a typo'd override must not silently disable
+            # chunking — that re-creates the exact multi-minute-dispatch
+            # crash mode this gate exists to prevent
+            print(
+                f"[tpuslam] ignoring malformed TPUSLAM_ICP_CHUNK="
+                f"{chunk_env!r}; using the automatic gate"
+            )
     if backend != "tpu":
         return 0
     # size each dispatch at ~512k x 10 point-iterations (~5 s on v5e)
@@ -92,7 +98,10 @@ def cpd_chunk_size(
         try:
             return max(0, int(chunk_env))
         except ValueError:
-            return 0
+            print(
+                f"[tpuslam] ignoring malformed TPUSLAM_CPD_CHUNK="
+                f"{chunk_env!r}; using the automatic gate"
+            )
     if backend != "tpu" or max_iterations <= 0:
         return 0
     pairs = max(n_max, 1) * max(m_max, 1)

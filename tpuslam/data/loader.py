@@ -75,12 +75,18 @@ def _load_off(path: str) -> np.ndarray:
                 continue
             counts.extend(int(t) for t in line.split())
         nv = counts[0]
-        # rows are collected lazily (no nv-sized preallocation): a corrupt
+        # preallocate, but bounded by what the file could possibly hold
+        # (a vertex row consumes at least one input byte): a corrupt
         # header like "OFF 99999999999 0 0" over a short body must yield
-        # the partial prefix actually present, not an allocation failure —
-        # the native parser (tpuslam/native/loader.cpp) matches this
-        rows: list[tuple[float, float, float]] = []
-        while len(rows) < nv:
+        # the partial prefix actually present, not an allocation failure
+        # — the native parser (tpuslam/native/loader.cpp) bounds its
+        # reserve() the same way
+        # a vertex row is at least 6 bytes ("0 0 0\n"; +16 covers a
+        # final unterminated row), so rows present <= st_size/6 + 1
+        cap = min(nv, os.fstat(fh.fileno()).st_size // 6 + 16)
+        out = np.empty((cap, 3), dtype=np.float32)
+        filled = 0
+        while filled < nv:
             line = fh.readline()
             if not line:
                 break
@@ -88,10 +94,11 @@ def _load_off(path: str) -> np.ndarray:
             if not line:
                 continue
             parts = line.split()
-            rows.append((float(parts[0]), float(parts[1]), float(parts[2])))
-        if not rows:
-            return np.zeros((0, 3), dtype=np.float32)
-        return np.asarray(rows, dtype=np.float32)
+            out[filled, 0] = float(parts[0])
+            out[filled, 1] = float(parts[1])
+            out[filled, 2] = float(parts[2])
+            filled += 1
+        return out[:filled].copy()
 
 
 # Relative cloud paths (the reference's configs use e.g. "data/bunny.obj")

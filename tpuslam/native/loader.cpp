@@ -51,9 +51,23 @@ inline bool is_ws(char c) {
          c == '\f';
 }
 
-inline const char *next_line(const char *p, const char *end) {
-  while (p < end && *p != '\n') ++p;
-  return p < end ? p + 1 : end;
+// a line ends at '\n' or at a lone '\r': the Python oracle reads text
+// mode with universal newlines, where '\r', '\r\n', and '\n' all break
+// lines — splitting on '\n' alone would merge classic-Mac lines and
+// silently produce divergent geometry
+inline const char *line_end(const char *p, const char *end) {
+  while (p < end && *p != '\n' && *p != '\r') ++p;
+  return p;
+}
+
+// advance past the terminator found by line_end ('\r\n' is ONE break)
+inline const char *next_line(const char *eol, const char *end) {
+  if (eol < end && *eol == '\r') {
+    ++eol;
+    if (eol < end && *eol == '\n') ++eol;
+    return eol;
+  }
+  return (eol < end && *eol == '\n') ? eol + 1 : eol;
 }
 
 // whitespace-delimited tokens of [p, end) — one LINE's worth
@@ -174,8 +188,7 @@ long load_obj_points(const std::string &text, std::vector<float> *out) {
   const char *p = text.data();
   const char *end = p + text.size();
   while (p < end) {
-    const char *eol = p;
-    while (eol < end && *eol != '\n') ++eol;
+    const char *eol = line_end(p, end);
     if (eol - p >= 2 && p[0] == 'v' && p[1] == ' ') {
       line_tokens(p, eol, &toks);
       if (toks.size() < 4) return -1;  // oracle: IndexError => empty
@@ -207,7 +220,7 @@ long load_obj_points(const std::string &text, std::vector<float> *out) {
       if (face.size() >= 3)
         corners.insert(corners.end(), face.begin(), face.end());
     }
-    p = next_line(p, end);
+    p = next_line(eol, end);
   }
   if (verts.empty()) return 0;
   const long nverts = static_cast<long>(verts.size() / 3);
@@ -249,8 +262,7 @@ long load_off_points(const std::string &text, std::vector<float> *out) {
 
   // header: first line, stripped, must start with "OFF"; the remainder
   // of that line already carries count tokens ("OFF 8 6 12")
-  const char *eol = p;
-  while (eol < end && *eol != '\n') ++eol;
+  const char *eol = line_end(p, end);
   const char *h = p;
   const char *he = eol;
   while (h < he && is_ws(*h)) ++h;
@@ -263,17 +275,16 @@ long load_off_points(const std::string &text, std::vector<float> *out) {
     if (!parse_long_exact(t.first, t.second, &v)) return -1;
     counts.push_back(v);
   }
-  p = next_line(p, end);
+  p = next_line(eol, end);
 
   // count lines: every token of a consumed line must be an integer
   while (counts.size() < 3) {
     if (p >= end) return 0;  // oracle: EOF here => empty cloud
-    eol = p;
-    while (eol < end && *eol != '\n') ++eol;
+    eol = line_end(p, end);
     const char *ce = eol;
     strip_comment(p, &ce);
     line_tokens(p, ce, &toks);
-    p = next_line(p, end);
+    p = next_line(eol, end);
     for (auto &t : toks) {
       long v;
       if (!parse_long_exact(t.first, t.second, &v)) return -1;
@@ -293,12 +304,11 @@ long load_off_points(const std::string &text, std::vector<float> *out) {
   long filled = 0;
   while (filled < nv) {
     if (p >= end) break;  // oracle: EOF => partial prefix
-    eol = p;
-    while (eol < end && *eol != '\n') ++eol;
+    eol = line_end(p, end);
     const char *ce = eol;
     strip_comment(p, &ce);
     line_tokens(p, ce, &toks);
-    p = next_line(p, end);
+    p = next_line(eol, end);
     if (toks.empty()) continue;  // blank / comment-only line
     if (toks.size() < 3) return -1;  // oracle: IndexError => empty
     for (int i = 0; i < 3; ++i) {
