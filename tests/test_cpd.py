@@ -443,3 +443,30 @@ def test_checkpoint_corrupt_file_starts_fresh_cpd(rng, tmp_path, capsys):
             np.asarray(clean.transform.rotation),
         )
         load_cpd_checkpoint(ck)  # overwritten with a valid boundary
+
+
+def test_history_trace_wraps_as_ring(rng):
+    """A run longer than history_length keeps the MOST RECENT
+    iterations at slots i % history_length (true ring) — the old clamp
+    overwrote one slot and misrepresented the trace (review finding)."""
+    before = (rng.random((150, 3)) * 4.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.15, trans=0.3)
+    after = (before @ r.T + t).astype(np.float32)
+    full = cpd_register(
+        pad_cloud(before), pad_cloud(after),
+        weight=0.1, max_iterations=12, tolerance=0.0,
+        record_history=True, history_length=64,
+    )
+    ring = cpd_register(
+        pad_cloud(before), pad_cloud(after),
+        weight=0.1, max_iterations=12, tolerance=0.0,
+        record_history=True, history_length=8,
+    )
+    iters = int(full.iterations)
+    assert iters == 12 and int(ring.iterations) == 12
+    hist_full = np.asarray(full.history)
+    hist_ring = np.asarray(ring.history)
+    # ring slot i%8 holds the LAST write to it: iterations 8..11 evict
+    # 0..3; iterations 4..7 remain in slots 4..7
+    for i in range(4, 12):
+        np.testing.assert_array_equal(hist_ring[i % 8], hist_full[i])

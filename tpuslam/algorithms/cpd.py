@@ -61,7 +61,7 @@ import jax.numpy as jnp
 
 from tpuslam.algorithms.icp import RegistrationResult
 from tpuslam.config.configuration import ApproximationType
-from tpuslam.core.types import Cloud, RigidTransform
+from tpuslam.core.types import Cloud, RigidTransform, pick_block
 
 _TWO_PI = 2.0 * math.pi
 
@@ -105,13 +105,6 @@ def uniform_constant(
     )
 
 
-def _pick_tile(n: int) -> int:
-    for tile in (1024, 512, 256, 128):
-        if n % tile == 0:
-            return tile
-    return n
-
-
 def cpd_estep(
     transformed: jnp.ndarray,
     moving_mask: jnp.ndarray,
@@ -131,7 +124,7 @@ def cpd_estep(
     """
     m = transformed.shape[0]
     n = target.shape[0]
-    tile = _pick_tile(n)
+    tile = pick_block(n)
     multiplier = -0.5 / sigma2
     log_trunc = jnp.float32(math.log(truncate))
     ty2 = jnp.sum(transformed * transformed, axis=-1)  # f32[M]
@@ -226,10 +219,8 @@ def cpd_estep_auto(*args, use_pallas=None) -> Sufficient:
     """Dispatching front: Pallas two-phase kernel on TPU (batched
     kernels under ``jax.vmap`` via the custom-vmap rule), blocked jnp
     scan elsewhere."""
-    import jax as _jax
-
     if use_pallas is None:
-        use_pallas = _jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         return _cpd_estep_pallas_auto(*args)
     return cpd_estep(*args)
@@ -627,8 +618,12 @@ def cpd_register(
                 [new_s.sigma2, new_s.ntol, new_s.log_likelihood,
                  new_s.scale]
             )
-            slot = jnp.minimum(
-                s.iterations + iter_offset, history_length - 1
+            # true ring: iteration i lands in slot i % history_length,
+            # so a run longer than the buffer keeps the most recent
+            # history_length iterations (reconstructable from
+            # result.iterations) instead of overwriting one slot
+            slot = jnp.mod(
+                s.iterations + iter_offset, history_length
             )
             return new_s, hist.at[slot].set(row)
 

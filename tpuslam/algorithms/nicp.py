@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from tpuslam.algorithms.icp import RegistrationResult
 from tpuslam.config.configuration import ApproximationType
-from tpuslam.core.types import Cloud, RigidTransform
+from tpuslam.core.types import LANE, Cloud, RigidTransform, round_up
 from tpuslam.ops.nn import nearest_neighbors
 
 BIG = jnp.float32(3.4e38)
@@ -183,7 +183,7 @@ def nicp_register(
     # beyond the requested size carry zero weight, preserving the exact
     # subcloud-size semantics.
     k_req = min(subcloud_size, before.padded_size)
-    k = min(-(-k_req // 128) * 128, before.padded_size)
+    k = min(round_up(k_req, LANE), before.padded_size)
     key = jax.random.PRNGKey(seed)
     scores = jax.random.uniform(key, (before.padded_size,))
     scores = jnp.where(mask_b > 0, scores, -1.0)  # invalid rows lose

@@ -80,6 +80,16 @@ def round_up(n: int, multiple: int = LANE) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def pick_block(n: int, prefer=(1024, 512, 256, 128)) -> int:
+    """Largest preferred kernel block size dividing ``n`` (``n`` itself
+    when none divides) — the one tile-size policy shared by the Pallas
+    grids and the blocked jnp fallbacks."""
+    for b in prefer:
+        if n % b == 0:
+            return b
+    return n
+
+
 def pad_cloud(points: np.ndarray, multiple: int = LANE) -> Cloud:
     """Pad an ``f32[N, 3]`` host array to a multiple-of-``multiple`` Cloud."""
     points = np.asarray(points, dtype=np.float32)

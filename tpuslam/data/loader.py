@@ -151,7 +151,14 @@ def load_cloud(path: str) -> np.ndarray:
     """Load a cloud as ``f32[N, 3]``; empty array on failure
     (mirrors ``LoadCloud``, ``common.cpp:16-23``)."""
     if path.startswith("synthetic://"):
-        return synthetic_cloud(int(path[len("synthetic://"):]))
+        try:
+            n = int(path[len("synthetic://"):])
+            if n <= 0:
+                return np.zeros((0, 3), dtype=np.float32)
+            return synthetic_cloud(n)
+        except (ValueError, MemoryError):
+            # same contract as a malformed file: empty cloud, no raise
+            return np.zeros((0, 3), dtype=np.float32)
     path = resolve_path(path)
     if not os.path.exists(path):
         return np.zeros((0, 3), dtype=np.float32)

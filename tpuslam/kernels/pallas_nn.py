@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from tpuslam.core.types import round_up
+from tpuslam.core.types import pick_block, round_up
 
 BIG = 3.4e38  # Python literals: jnp scalars would be captured consts
 IMAX = 2**31 - 1
@@ -57,13 +57,6 @@ _SENTINEL_DIST = 1e37  # any distance this large can only be a sentinel
 # internal padding granule; [BM, BN] f32 tile + argmin temporaries at
 # 2048x1024 measured best on v5e within the VMEM budget
 _TILE = 1024
-
-
-def _pick_block(n: int, prefer: Tuple[int, ...]) -> int:
-    for b in prefer:
-        if n % b == 0:
-            return b
-    return n
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -144,8 +137,8 @@ def nearest_neighbors_pallas_batch(
         tgt = jnp.pad(tgt, ((0, 0), (0, m - m0), (0, 0)))
     # n, m are _TILE multiples, so these resolve to 2048/1024-grade tiles
     # whose product stays within the VMEM budget by construction
-    bn = _pick_block(n, (2048, 1024))
-    bm = _pick_block(m, (1024,))
+    bn = pick_block(n, (2048, 1024))
+    bm = pick_block(m, (1024,))
     # push invalid rows (>= count, including internal padding) to the far
     # sentinel once, instead of a validity select in every kernel tile
     row_invalid = (

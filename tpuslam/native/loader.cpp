@@ -294,13 +294,14 @@ long load_off_points(const std::string &text, std::vector<float> *out) {
   const long nv = counts[0];
   if (nv <= 0) return 0;
   // Reserve lazily, bounded by what the remaining text could possibly
-  // hold (each vertex consumes at least one input byte), so a corrupt
-  // header like `OFF 99999999999 0 0` cannot drive reserve() into
-  // std::bad_alloc across the C ABI; the vector simply grows to the
-  // rows actually present and EOF yields the partial prefix, exactly
-  // like the oracle's lazily-built row list.
-  out->reserve(static_cast<size_t>(
-                   nv < static_cast<long>(end - p) ? nv : end - p) * 3);
+  // hold (a vertex row is at least 6 bytes, "0 0 0\n"; +16 covers a
+  // final unterminated row), so a corrupt header like
+  // `OFF 99999999999 0 0` cannot drive reserve() into a huge transient
+  // allocation; the vector simply grows to the rows actually present
+  // and EOF yields the partial prefix, exactly like the oracle's
+  // bounded preallocation (tpuslam/data/loader.py::_load_off).
+  const long row_bound = static_cast<long>(end - p) / 6 + 16;
+  out->reserve(static_cast<size_t>(nv < row_bound ? nv : row_bound) * 3);
   long filled = 0;
   while (filled < nv) {
     if (p >= end) break;  // oracle: EOF => partial prefix
