@@ -97,6 +97,10 @@ class Configuration:
     # extension: seed the ICP loop with a one-shot NICP estimate
     # (rescues large-motion cases; see icp_register_prealigned)
     icp_prealign: bool = False
+    # extension: write the transformed BEFORE cloud here after
+    # registration (.obj / .off, tpuslam.data.writer) — the reference
+    # only prints the transform
+    save_output_path: Optional[str] = None
 
     def print(self) -> str:
         """Config echo in the spirit of ``configuration.cpp:4-114``."""
@@ -146,6 +150,7 @@ class Configuration:
             f"cpd-use-fgt: {str(self.cpd_use_fgt).lower()}",
             f"cpd-centroid-init: {str(self.cpd_centroid_init).lower()}",
             f"icp-prealign: {str(self.icp_prealign).lower()}",
+            f"save-output-path: {self.save_output_path}",
         ]
         text = "\n".join(lines)
         print(text)

@@ -213,6 +213,9 @@ class ConfigParser:
         # extension key: NICP pre-alignment for ICP (large-motion rescue;
         # see tpuslam.algorithms.icp.icp_register_prealigned)
         c.icp_prealign = bool(opt(parsed, "icp-prealign", False))
+        # extension key: write the transformed cloud after registration
+        sop = opt(parsed, "save-output-path", None)
+        c.save_output_path = str(sop) if sop is not None else None
 
     def _validate(self) -> None:
         if self.config.transformation is None and (

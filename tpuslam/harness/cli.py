@@ -64,6 +64,18 @@ def run_config(argv: List[str]) -> int:
     print(f"Error: {error:f}")
     print(f"Iterations: {iterations}")
 
+    if config.save_output_path:
+        from tpuslam.data.writer import save_cloud
+
+        out_pts = transform_cloud(before, rotation, translation)
+        if save_cloud(config.save_output_path, out_pts):
+            print(f"Transformed cloud saved to {config.save_output_path}")
+        else:
+            print(
+                f"Could not save transformed cloud to "
+                f"{config.save_output_path} (.obj/.off, writable path)"
+            )
+
     if config.show_visualisation:
         from tpuslam.viz.view import show_registration
         from tpuslam.viz.webgl import export_html

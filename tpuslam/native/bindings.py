@@ -56,6 +56,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p,
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ]
+        for name in ("tpuslam_write_obj", "tpuslam_write_off"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_long
+            fn.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long,
+            ]
         lib.tpuslam_free.restype = None
         lib.tpuslam_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         _lib = lib
@@ -87,3 +95,22 @@ def load_obj(path: str) -> np.ndarray:
 
 def load_off(path: str) -> np.ndarray:
     return _call("tpuslam_load_off", path)
+
+
+def _write(fn_name: str, path: str, points: np.ndarray) -> bool:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native writer unavailable")
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    buf = pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    return bool(
+        getattr(lib, fn_name)(path.encode(), buf, len(pts))
+    )
+
+
+def write_obj(path: str, points: np.ndarray) -> bool:
+    return _write("tpuslam_write_obj", path, points)
+
+
+def write_off(path: str, points: np.ndarray) -> bool:
+    return _write("tpuslam_write_off", path, points)

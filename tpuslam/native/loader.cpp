@@ -361,6 +361,37 @@ long load_guarded(const char *path,
   }
 }
 
+// ---- writers ------------------------------------------------------
+// Format contract shared with the Python fallback
+// (tpuslam/data/writer.py): one point per line, coordinates printed
+// with %.9g (9 significant decimal digits round-trip any binary32
+// exactly), '\n' newlines — native and fallback must produce
+// byte-identical files, and load_cloud(save_cloud(x)) == x bit-for-bit
+// (asserted in tests/test_writer.py).
+
+bool write_rows(FILE *fh, const char *prefix, const float *pts, long n) {
+  for (long i = 0; i < n; ++i) {
+    if (std::fprintf(fh, "%s%.9g %.9g %.9g\n", prefix,
+                     static_cast<double>(pts[3 * i]),
+                     static_cast<double>(pts[3 * i + 1]),
+                     static_cast<double>(pts[3 * i + 2])) < 0)
+      return false;
+  }
+  return true;
+}
+
+long write_guarded(const char *path, const float *pts, long n,
+                   const char *header, const char *prefix) {
+  if (n < 0 || (n > 0 && !pts)) return 0;
+  FILE *fh = std::fopen(path, "wb");
+  if (!fh) return 0;
+  bool ok = true;
+  if (header && std::fprintf(fh, "%s", header) < 0) ok = false;
+  if (ok) ok = write_rows(fh, prefix, pts, n);
+  if (std::fclose(fh) != 0) ok = false;
+  return ok ? 1 : 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -371,6 +402,16 @@ long tpuslam_load_obj(const char *path, float **out) {
 
 long tpuslam_load_off(const char *path, float **out) {
   return load_guarded(path, load_off_points, out);
+}
+
+long tpuslam_write_obj(const char *path, const float *pts, long n) {
+  return write_guarded(path, pts, n, nullptr, "v ");
+}
+
+long tpuslam_write_off(const char *path, const float *pts, long n) {
+  char header[64];
+  std::snprintf(header, sizeof(header), "OFF\n%ld 0 0\n", n);
+  return write_guarded(path, pts, n, header, "");
 }
 
 void tpuslam_free(float *p) { std::free(p); }
