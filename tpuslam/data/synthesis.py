@@ -33,7 +33,11 @@ def inverse_permutation(perm: np.ndarray) -> np.ndarray:
 
 def apply_permutation(values: np.ndarray, perm: np.ndarray) -> np.ndarray:
     """Mirrors ``ApplyPermutation`` (``common.h:100-108``): identity padding
-    past the permutation length."""
+    past the permutation length.  Every permutation index must be
+    ``< len(values)`` — the reference reads out of bounds (C++ UB) for a
+    longer permutation and never exercises that domain (permutations are
+    always generated at cloud size); here numpy raises IndexError, loud
+    instead of undefined."""
     out = np.array(values, copy=True)
     k = min(len(perm), len(values))
     out[:k] = values[perm[:k]]
