@@ -318,3 +318,52 @@ def test_cli_platform_flag(tmp_path, capsys):
     assert main(["--platform", "cpu", str(path)]) == 0
     out = capsys.readouterr().out
     assert "Results for the icp method" in out
+
+
+def test_serve_mode(capsys):
+    """--serve JSONL loop: valid requests produce one ok-response line
+    each (and nothing else on the response stream); malformed JSON and
+    invalid configs produce error responses without killing the loop;
+    the warm process serves repeated shapes from the jit cache."""
+    import io
+    import json
+
+    import numpy as np
+
+    from tpuslam.harness.cli import run_serve
+
+    good = {
+        "method": "icp",
+        "before-path": "data/bunny.obj",
+        "after-path": "data/bunny.obj",
+        "cloud-before-resize": 200,
+        "cloud-after-resize": 200,
+        "random-seed": 7,
+        "rotation-range": 0.2,
+        "translation-range": 1.0,
+        "max-iterations": 5,
+    }
+    requests = "\n".join(
+        [
+            "not json {",
+            json.dumps({"method": "icp"}),  # missing cloud paths
+            json.dumps(good),
+            "",  # blank lines skipped
+            json.dumps({**good, "random-seed": 8}),  # warm repeat
+        ]
+    ) + "\n"
+    out = io.StringIO()
+    assert run_serve(io.StringIO(requests), out) == 0
+    lines = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert len(lines) == 4
+    assert lines[0]["ok"] is False
+    assert lines[1]["ok"] is False
+    for resp in lines[2:]:
+        assert resp["ok"] is True
+        r = np.asarray(resp["rotation"])
+        assert r.shape == (3, 3)
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-3)
+        assert 0 < resp["iterations"] <= 5
+        assert np.isfinite(resp["error"])
+    # diagnostics went to stderr-side, not the response stream
+    assert "Served 4 request(s)" in capsys.readouterr().err

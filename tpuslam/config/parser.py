@@ -48,6 +48,20 @@ class ConfigParser:
             print("Loading default config")
             self.load_config_from_file(DEFAULT_PATH)
 
+    @classmethod
+    def from_dict(cls, parsed: dict) -> "ConfigParser":
+        """Parser over an in-memory request dict (same key contract as a
+        config file) — the serve-mode entry (``cli.run_serve``)."""
+        self = cls.__new__(cls)
+        self.config = Configuration()
+        self.correct = True
+        try:
+            self.parse_dict(parsed)
+        except Exception as exc:  # noqa: BLE001 — report, don't crash
+            print(f"Parsing error: {exc}")
+            self.correct = False
+        return self
+
     def is_correct(self) -> bool:
         return self.correct
 

@@ -17,6 +17,10 @@ backend — e.g. ``--platform cpu`` keeps the CLI usable when the TPU
 relay is unreachable (backend init on a dead relay hangs rather than
 raising).
 
+``--serve`` runs a warm JSONL registration service on stdin/stdout
+(see ``run_serve``): one process, many registrations, compile cache
+kept hot.
+
 ``--warmup`` runs each test once untimed before the timed run so jit
 compilation never lands in the CSV ``time(ms)`` column.
 """
@@ -137,6 +141,75 @@ def run_test_set_cli(args: List[str]) -> int:
     return 0
 
 
+def run_serve(inp=None, out=None) -> int:
+    """``--serve``: a warm registration service on stdin/stdout.
+
+    Production pattern the one-shot CLI cannot offer: ONE process keeps
+    the jit/compile cache and device context warm across many
+    registrations (first compile of a shape is expensive — especially
+    through a TPU tunnel — repeats are milliseconds).  Protocol: one
+    JSON request per line, the same key contract as a config file
+    (``config/schema.json``); one JSON response per line:
+
+        {"ok": true, "rotation": [[...]x3], "translation": [...],
+         "iterations": N, "error": E}
+      | {"ok": false, "error": "..."}
+
+    Responses are the ONLY stdout output; all diagnostics (config echo,
+    parse errors) go to stderr.  EOF ends the loop."""
+    import contextlib
+    import json as _json
+
+    inp = sys.stdin if inp is None else inp
+    out = sys.stdout if out is None else out
+    served = 0
+    for line in inp:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            request = _json.loads(line)
+            if not isinstance(request, dict):
+                raise ValueError("request must be a JSON object")
+        except ValueError as exc:
+            out.write(_json.dumps({"ok": False, "error": str(exc)}) + "\n")
+            out.flush()
+            served += 1
+            continue
+        with contextlib.redirect_stdout(sys.stderr):
+            parser = ConfigParser.from_dict(request)
+            if not parser.is_correct():
+                response = {"ok": False, "error": "invalid config"}
+            else:
+                config = parser.get_configuration()
+                before, after, _ = get_clouds_from_config(config)
+                if len(before) == 0 or len(after) == 0:
+                    response = {"ok": False, "error": "empty cloud(s)"}
+                else:
+                    rotation, translation, iterations, error = (
+                        run_with_configuration(before, after, config)
+                    )
+                    if config.save_output_path:
+                        from tpuslam.data.writer import save_cloud
+
+                        save_cloud(
+                            config.save_output_path,
+                            transform_cloud(before, rotation, translation),
+                        )
+                    response = {
+                        "ok": True,
+                        "rotation": np.asarray(rotation).tolist(),
+                        "translation": np.asarray(translation).tolist(),
+                        "iterations": int(iterations),
+                        "error": float(error),
+                    }
+        out.write(_json.dumps(response) + "\n")
+        out.flush()
+        served += 1
+    print(f"Served {served} request(s)", file=sys.stderr)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) >= 2 and argv[0] == "--platform":
@@ -149,6 +222,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         jax.config.update("jax_platforms", argv[1])
         argv = argv[2:]
+    if argv and argv[0] == "--serve":
+        return run_serve()
     if argv and argv[0] == "--test-set":
         return run_test_set_cli(argv[1:])
     return run_config(argv)
