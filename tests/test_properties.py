@@ -144,3 +144,45 @@ def test_writer_roundtrip_any_values(pts):
             np.testing.assert_array_equal(load_cloud(path), pts)
         finally:
             os.unlink(path)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(
+            [
+                "method", "before-path", "after-path", "max-iterations",
+                "cloud-before-resize", "cloud-after-resize", "random-seed",
+                "rotation-range", "translation-range", "cloud-spread",
+                "noise-affected-points-before", "cpd-weight",
+                "approximation-type", "nicp-subcloud-size",
+            ]
+        ),
+        st.one_of(
+            st.integers(-10, 10**6),
+            st.floats(allow_nan=True, allow_infinity=True, width=32),
+            st.text(max_size=12),
+            st.booleans(),
+            st.none(),
+        ),
+        max_size=8,
+    )
+)
+def test_serve_never_dies(request_dict):
+    """ANY JSON-object request yields exactly one parseable response —
+    adversarial values (NaN ranges, negative sizes, junk strings) must
+    produce an error response, never kill the service loop."""
+    import io
+    import json
+
+    from tpuslam.harness.cli import run_serve
+
+    inp = io.StringIO(json.dumps(request_dict) + "\n")
+    out = io.StringIO()
+    assert run_serve(inp, out) == 0
+    lines = out.getvalue().splitlines()
+    assert len(lines) == 1
+    resp = json.loads(lines[0])
+    assert isinstance(resp["ok"], bool)
+    if not resp["ok"]:
+        assert resp["error"]

@@ -176,33 +176,41 @@ def run_serve(inp=None, out=None) -> int:
             out.flush()
             served += 1
             continue
-        with contextlib.redirect_stdout(sys.stderr):
-            parser = ConfigParser.from_dict(request)
-            if not parser.is_correct():
-                response = {"ok": False, "error": "invalid config"}
-            else:
-                config = parser.get_configuration()
-                before, after, _ = get_clouds_from_config(config)
-                if len(before) == 0 or len(after) == 0:
-                    response = {"ok": False, "error": "empty cloud(s)"}
+        # a single bad request must never end the service: anything the
+        # pipeline raises (synthesis on degenerate values, registration
+        # on adversarial parameters) becomes an error response
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                parser = ConfigParser.from_dict(request)
+                if not parser.is_correct():
+                    response = {"ok": False, "error": "invalid config"}
                 else:
-                    rotation, translation, iterations, error = (
-                        run_with_configuration(before, after, config)
-                    )
-                    if config.save_output_path:
-                        from tpuslam.data.writer import save_cloud
-
-                        save_cloud(
-                            config.save_output_path,
-                            transform_cloud(before, rotation, translation),
+                    config = parser.get_configuration()
+                    before, after, _ = get_clouds_from_config(config)
+                    if len(before) == 0 or len(after) == 0:
+                        response = {"ok": False, "error": "empty cloud(s)"}
+                    else:
+                        rotation, translation, iterations, error = (
+                            run_with_configuration(before, after, config)
                         )
-                    response = {
-                        "ok": True,
-                        "rotation": np.asarray(rotation).tolist(),
-                        "translation": np.asarray(translation).tolist(),
-                        "iterations": int(iterations),
-                        "error": float(error),
-                    }
+                        if config.save_output_path:
+                            from tpuslam.data.writer import save_cloud
+
+                            save_cloud(
+                                config.save_output_path,
+                                transform_cloud(
+                                    before, rotation, translation
+                                ),
+                            )
+                        response = {
+                            "ok": True,
+                            "rotation": np.asarray(rotation).tolist(),
+                            "translation": np.asarray(translation).tolist(),
+                            "iterations": int(iterations),
+                            "error": float(error),
+                        }
+        except Exception as exc:  # noqa: BLE001 — keep serving
+            response = {"ok": False, "error": repr(exc)}
         out.write(_json.dumps(response) + "\n")
         out.flush()
         served += 1
