@@ -230,6 +230,41 @@ def main() -> None:
         report["batch_16x16k_ms"] = round(dt_batch * 1000, 2)
         report["batch_vs_solo_speedup"] = round(dt_solo / dt_batch, 2)
 
+        # Small-pair regime (16 x 2k): here per-dispatch overhead (host
+        # round-trips through the relay, launch latency) dominates each
+        # solo iteration, which is what the single fused batched program
+        # amortizes — the production many-small-pairs case.
+        sm_pairs = [make_pair(2_048) for _ in range(n_pairs)]
+        sm_bb = stack_clouds([np.asarray(b.points) for b, _ in sm_pairs])
+        sm_ba = stack_clouds([np.asarray(a.points) for _, a in sm_pairs])
+
+        def run_batch_small(i):
+            return icp_register_batch(
+                Cloud(sm_bb.points * (1.0 + 1e-5 * i), sm_bb.count), sm_ba,
+                eps=0.0, max_distance_squared=1e18,
+                max_iterations=pair_iters, divergence_guard=False,
+            )
+
+        dt_batch_sm = timeit(run_batch_small, reps=3)
+
+        def run_solo_small(i):
+            out = None
+            for b, a in sm_pairs:
+                out = icp_register(
+                    Cloud(b.points * (1.0 + 1e-5 * i), b.count), a,
+                    eps=0.0, max_distance_squared=1e18,
+                    max_iterations=pair_iters, divergence_guard=False,
+                    use_pallas=True, use_spatial=False,
+                )
+            return out
+
+        dt_solo_sm = timeit(run_solo_small, reps=3)
+        report["batch_16x2k_pairs_per_sec"] = round(n_pairs / dt_batch_sm, 2)
+        report["batch_16x2k_ms"] = round(dt_batch_sm * 1000, 2)
+        report["batch_vs_solo_speedup_small"] = round(
+            dt_solo_sm / dt_batch_sm, 2
+        )
+
     # --- large-size rungs from the recorded performance ladder -----------
     perf_csv = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
