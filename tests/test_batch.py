@@ -51,6 +51,32 @@ def test_icp_batch_matches_solo(rng):
         assert mse < 1e-3
 
 
+def test_icp_batch_unrolled_matches_vmapped(rng):
+    # the large-pair lowering (tools/batch_diag.py crossover) unrolls
+    # solo bodies instead of vmapping the while_loop; forced ON here at
+    # small sizes, it must agree with the vmapped lowering pair-by-pair
+    befores, afters, _ = make_pairs(rng, [300, 450, 200])
+    bb, ba = stack_clouds(befores), stack_clouds(afters)
+    vmapped = icp_register_batch(bb, ba, max_iterations=30, unroll=False)
+    unrolled = icp_register_batch(bb, ba, max_iterations=30, unroll=True)
+    np.testing.assert_allclose(
+        np.asarray(unrolled.transform.rotation),
+        np.asarray(vmapped.transform.rotation),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(unrolled.transform.translation),
+        np.asarray(vmapped.transform.translation),
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unrolled.iterations), np.asarray(vmapped.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(unrolled.error), np.asarray(vmapped.error), atol=1e-6
+    )
+
+
 def test_nicp_batch_recovers(rng):
     befores, afters, truths = make_pairs(rng, [400, 350], angle=0.3)
     # NICP needs anisotropic clouds

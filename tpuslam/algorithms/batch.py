@@ -42,7 +42,19 @@ def stack_clouds(clouds: Sequence[np.ndarray], multiple: int = 128) -> Cloud:
     )
 
 
-@partial(jax.jit, static_argnames=("divergence_guard",))
+# Lowering crossover for icp_register_batch, measured on v5e
+# (tools/batch_diag.py): at 16 x 2k the vmapped while_loop beats an
+# unrolled loop of solo bodies 1.54x (tiny per-pair kernels batch onto
+# one well-shaped 3-D grid); at 16 x 16k the unrolled loop wins 1.15x
+# (each kernel already saturates the chip and the vmapped loop pays for
+# batched gathers/selects).  Unrolling also restores per-pair early
+# exit (a vmapped batch steps until the slowest pair converges) but
+# program size grows with B, so it is capped.
+_UNROLL_MAX_B = 32
+_UNROLL_MIN_PAIRWORK = 8192 * 8192  # N*M per pair
+
+
+@partial(jax.jit, static_argnames=("divergence_guard", "unroll"))
 def icp_register_batch(
     befores: Cloud,
     afters: Cloud,
@@ -50,8 +62,35 @@ def icp_register_batch(
     max_distance_squared: float = 1000.0,
     max_iterations: int = 50,
     divergence_guard: bool = True,
+    unroll: bool | None = None,
 ) -> RegistrationResult:
-    """vmapped ``icp_register`` over the leading pair axis."""
+    """``icp_register`` over the leading pair axis — ONE jitted program
+    either way; ``unroll`` (default: auto by the measured crossover
+    above) picks between vmapping the while_loop and unrolling solo
+    bodies per pair."""
+    if unroll is None:
+        b, n = befores.points.shape[0], befores.points.shape[1]
+        m = afters.points.shape[1]
+        unroll = b <= _UNROLL_MAX_B and n * m >= _UNROLL_MIN_PAIRWORK
+    if unroll:
+        outs = []
+        for p in range(befores.points.shape[0]):
+            r = icp_register(
+                Cloud(befores.points[p], befores.count[p]),
+                Cloud(afters.points[p], afters.count[p]),
+                eps=eps,
+                max_distance_squared=max_distance_squared,
+                max_iterations=max_iterations,
+                use_pallas=None,
+                use_spatial=False,  # match the vmap arm's NN exactly
+                divergence_guard=divergence_guard,
+            )
+            # strip the optional carries (history/nn/em) so both
+            # lowerings return the same structure
+            outs.append(
+                RegistrationResult(r.transform, r.iterations, r.error)
+            )
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
     fn = partial(
         icp_register,
         eps=eps,
