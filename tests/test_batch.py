@@ -175,6 +175,18 @@ def test_prealign_batch_matches_solo(rng):
     batch = icp_register_prealigned_batch(
         stack_clouds(befores), stack_clouds(afters), **kw
     )
+    # the large-pair unrolled lowering must agree with the vmapped one
+    unrolled = icp_register_prealigned_batch(
+        stack_clouds(befores), stack_clouds(afters), unroll=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(unrolled.transform.rotation),
+        np.asarray(batch.transform.rotation),
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unrolled.iterations), np.asarray(batch.iterations)
+    )
     for i, (b, a) in enumerate(zip(befores, afters)):
         solo = icp_register_prealigned(
             pad_cloud(b, multiple=512), pad_cloud(a, multiple=512),

@@ -182,6 +182,7 @@ def icp_register_prealigned_batch(
     subcloud_size: int = 1000,
     seed: int = 0,
     divergence_guard: bool = True,
+    unroll: bool | None = None,
 ) -> RegistrationResult:
     """Batched ``icp_register_prealigned``: one NICP shot per pair seeds
     each pair's ICP loop through a batched ``ICPResume`` (rotation
@@ -212,6 +213,23 @@ def icp_register_prealigned_batch(
         use_spatial=False,  # scalar-prefetch sparse kernel is not vmappable
         divergence_guard=divergence_guard,
     )
+    # same measured lowering crossover as icp_register_batch: large
+    # pairs unroll the solo bodies into this one jitted program
+    if unroll is None:
+        n, m = befores.points.shape[1], afters.points.shape[1]
+        unroll = b <= _UNROLL_MAX_B and n * m >= _UNROLL_MIN_PAIRWORK
+    if unroll:
+        outs = []
+        for p in range(b):
+            r = fn(
+                Cloud(befores.points[p], befores.count[p]),
+                Cloud(afters.points[p], afters.count[p]),
+                resume=jax.tree.map(lambda x: x[p], resume),
+            )
+            outs.append(
+                RegistrationResult(r.transform, r.iterations, r.error)
+            )
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
     return jax.vmap(lambda bb, aa, rr: fn(bb, aa, resume=rr))(
         befores, afters, resume
     )
