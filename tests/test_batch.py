@@ -77,6 +77,50 @@ def test_icp_batch_unrolled_matches_vmapped(rng):
     )
 
 
+def test_icp_batch_unrolled_hier_matches_vmapped(rng):
+    # the production large-pair lowering on TPU: unrolled solo bodies
+    # with the per-pair hierarchical warm-start NN threaded through
+    # (VERDICT r2 #1).  Forced ON here (interpret-mode kernels on CPU),
+    # it must agree with the vmapped dense lowering pair-by-pair —
+    # the hier NN is bit-exact vs the oracle, so trajectories match.
+    befores, afters, _ = make_pairs(rng, [300, 450, 200])
+    bb, ba = stack_clouds(befores), stack_clouds(afters)
+    vmapped = icp_register_batch(bb, ba, max_iterations=12, unroll=False)
+    hier = icp_register_batch(
+        bb, ba, max_iterations=12, unroll=True, use_spatial=True
+    )
+    # vs the vmapped dense lowering: the hier arm reduces in
+    # Morton-sorted row order, so trajectories agree to f32 noise only
+    np.testing.assert_allclose(
+        np.asarray(hier.transform.rotation),
+        np.asarray(vmapped.transform.rotation),
+        atol=1e-4,
+    )
+    # vs per-pair SOLO hier runs at the same padded size: identical
+    # computation, so the agreement is tight
+    for i, (b, a) in enumerate(zip(befores, afters)):
+        solo = icp_register(
+            pad_cloud(b, multiple=512), pad_cloud(a, multiple=512),
+            max_iterations=12, use_spatial=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(hier.transform.rotation[i]),
+            np.asarray(solo.transform.rotation),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(hier.transform.translation[i]),
+            np.asarray(solo.transform.translation),
+            atol=1e-6,
+        )
+        assert int(hier.iterations[i]) == int(solo.iterations)
+    # vmap arm cannot run the candidate kernel: loud error, not silence
+    with pytest.raises(ValueError, match="unroll"):
+        icp_register_batch(
+            bb, ba, max_iterations=12, unroll=False, use_spatial=True
+        )
+
+
 def test_nicp_batch_recovers(rng):
     befores, afters, truths = make_pairs(rng, [400, 350], angle=0.3)
     # NICP needs anisotropic clouds

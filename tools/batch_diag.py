@@ -77,8 +77,11 @@ def main() -> None:
     )
 
     def run_batch(s):
+        # unroll=False: measure the VMAPPED lowering explicitly (the
+        # auto crossover would otherwise pick unrolled at 16k and this
+        # line would no longer measure what it labels)
         return icp_register_batch(
-            Cloud(s, counts), Cloud(tgt, counts), **kw
+            Cloud(s, counts), Cloud(tgt, counts), unroll=False, **kw
         ).error.sum()
 
     @jax.jit
@@ -92,11 +95,25 @@ def main() -> None:
             total = total + r.error
         return total
 
+    @jax.jit
+    def run_loop_hier(s):
+        total = jnp.float32(0)
+        for p in range(b):
+            r = icp_register(
+                Cloud(s[p], counts[p]), Cloud(tgt[p], counts[p]),
+                use_pallas=None, use_spatial=None, **kw
+            )
+            total = total + r.error
+        return total
+
     dt_v = timeit(lambda i: run_batch(src * (1.0 + 1e-5 * i)), reps=3)
     dt_l = timeit(lambda i: run_loop(src * (1.0 + 1e-5 * i)), reps=3)
-    print(f"ICP 20it  vmapped batch : {dt_v*1000:8.2f} ms")
-    print(f"ICP 20it  one-jit loop  : {dt_l*1000:8.2f} ms  "
-          f"(batch/loop = {dt_v/dt_l:.3f})")
+    dt_h = timeit(lambda i: run_loop_hier(src * (1.0 + 1e-5 * i)), reps=3)
+    print(f"ICP 20it  vmapped batch    : {dt_v*1000:8.2f} ms")
+    print(f"ICP 20it  one-jit loop     : {dt_l*1000:8.2f} ms  "
+          f"(vmap/loop = {dt_v/dt_l:.3f})")
+    print(f"ICP 20it  one-jit loop hier: {dt_h*1000:8.2f} ms  "
+          f"(vmap/hier = {dt_v/dt_h:.3f})")
 
 
 if __name__ == "__main__":

@@ -43,18 +43,27 @@ def stack_clouds(clouds: Sequence[np.ndarray], multiple: int = 128) -> Cloud:
 
 
 # Lowering crossover for icp_register_batch, measured on v5e
-# (tools/batch_diag.py): at 16 x 2k the vmapped while_loop beats an
-# unrolled loop of solo bodies 1.54x (tiny per-pair kernels batch onto
-# one well-shaped 3-D grid); at 16 x 16k the unrolled loop wins 1.15x
-# (each kernel already saturates the chip and the vmapped loop pays for
-# batched gathers/selects).  Unrolling also restores per-pair early
-# exit (a vmapped batch steps until the slowest pair converges) but
-# program size grows with B, so it is capped.
+# (tools/batch_diag.py, 16 pairs x 20 iters): the vmapped while_loop
+# beats the unrolled-hier loop 1.71x at 2k and 1.09x at 8k (tiny
+# per-pair kernels batch onto one well-shaped 3-D grid); at 16k the
+# unrolled loop wins 1.43x — each kernel saturates the chip, the
+# vmapped loop pays for batched gathers/selects, and ONLY the unrolled
+# lowering can run the hierarchical warm-start NN (the scalar-prefetch
+# candidate kernel is not vmappable, so the vmap arm is pinned to the
+# dense kernel; each unrolled solo body threads its own
+# HierState/prepare_hier_target exactly like a solo run).  The measured
+# break-even is ~9.6k.  Unrolling also restores per-pair early exit (a
+# vmapped batch steps until the slowest pair converges) but program
+# size grows with B, so the AUTO selection is capped at _UNROLL_MAX_B;
+# an explicit ``unroll=True`` is honored for any B — expect compile
+# time to grow roughly linearly in B beyond the cap.
 _UNROLL_MAX_B = 32
-_UNROLL_MIN_PAIRWORK = 8192 * 8192  # N*M per pair
+_UNROLL_MIN_PAIRWORK = 10240 * 10240  # N*M per pair (measured break-even)
 
 
-@partial(jax.jit, static_argnames=("divergence_guard", "unroll"))
+@partial(
+    jax.jit, static_argnames=("divergence_guard", "unroll", "use_spatial")
+)
 def icp_register_batch(
     befores: Cloud,
     afters: Cloud,
@@ -63,11 +72,14 @@ def icp_register_batch(
     max_iterations: int = 50,
     divergence_guard: bool = True,
     unroll: bool | None = None,
+    use_spatial: bool | None = None,
 ) -> RegistrationResult:
     """``icp_register`` over the leading pair axis — ONE jitted program
     either way; ``unroll`` (default: auto by the measured crossover
     above) picks between vmapping the while_loop and unrolling solo
-    bodies per pair."""
+    bodies per pair.  ``use_spatial`` (default auto, like solo) is
+    honored only by the unrolled lowering; the vmapped one is pinned to
+    the dense NN (the candidate kernel is not vmappable)."""
     if unroll is None:
         b, n = befores.points.shape[0], befores.points.shape[1]
         m = afters.points.shape[1]
@@ -82,7 +94,10 @@ def icp_register_batch(
                 max_distance_squared=max_distance_squared,
                 max_iterations=max_iterations,
                 use_pallas=None,
-                use_spatial=False,  # match the vmap arm's NN exactly
+                # None = auto: the hierarchical warm-start NN, exactly
+                # as a solo run (bit-identical results to the dense
+                # kernel, so the two lowerings still agree)
+                use_spatial=use_spatial,
                 divergence_guard=divergence_guard,
             )
             # strip the optional carries (history/nn/em) so both
@@ -91,6 +106,11 @@ def icp_register_batch(
                 RegistrationResult(r.transform, r.iterations, r.error)
             )
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    if use_spatial:
+        raise ValueError(
+            "use_spatial=True requires the unrolled lowering "
+            "(the candidate kernel is not vmappable); pass unroll=True"
+        )
     fn = partial(
         icp_register,
         eps=eps,
@@ -173,6 +193,10 @@ def cpd_register_batch(
     return jax.vmap(fn)(befores, afters)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("subcloud_size", "divergence_guard", "unroll"),
+)
 def icp_register_prealigned_batch(
     befores: Cloud,
     afters: Cloud,
@@ -210,7 +234,6 @@ def icp_register_prealigned_batch(
         max_distance_squared=max_distance_squared,
         max_iterations=max_iterations,
         use_pallas=None,
-        use_spatial=False,  # scalar-prefetch sparse kernel is not vmappable
         divergence_guard=divergence_guard,
     )
     # same measured lowering crossover as icp_register_batch: large
@@ -224,12 +247,15 @@ def icp_register_prealigned_batch(
             r = fn(
                 Cloud(befores.points[p], befores.count[p]),
                 Cloud(afters.points[p], afters.count[p]),
+                # None = auto: per-pair hierarchical NN, like a solo run
+                use_spatial=None,
                 resume=jax.tree.map(lambda x: x[p], resume),
             )
             outs.append(
                 RegistrationResult(r.transform, r.iterations, r.error)
             )
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-    return jax.vmap(lambda bb, aa, rr: fn(bb, aa, resume=rr))(
-        befores, afters, resume
-    )
+    # vmap arm: the scalar-prefetch candidate kernel is not vmappable
+    return jax.vmap(
+        lambda bb, aa, rr: fn(bb, aa, use_spatial=False, resume=rr)
+    )(befores, afters, resume)
