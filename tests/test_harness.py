@@ -367,3 +367,49 @@ def test_serve_mode(capsys):
         assert np.isfinite(resp["error"])
     # diagnostics went to stderr-side, not the response stream
     assert "Served 4 request(s)" in capsys.readouterr().err
+
+def test_noise_test_set_registered_and_sliced():
+    # the 39-config noise suite is a first-class test set: per-method
+    # slices in table order, 39 total across methods
+    from tpuslam.harness.noise import load_entries
+    from tpuslam.harness.testsets import TEST_SETS
+
+    assert "noise" in TEST_SETS
+    total = 0
+    for method in ComputationMethod:
+        configs = TEST_SETS["noise"](method)
+        assert all(c.computation_method == method for c in configs)
+        total += len(configs)
+    assert total == len(load_entries()) == 39
+
+
+def test_run_noise_test_set_writes_csv_and_tiers(tmp_path):
+    # capped smoke run of two configs: the runner must emit the
+    # reference CSV schema AND the graded tier sidecar with the
+    # reference-behavior note fields
+    import json
+
+    from tpuslam.harness.noise import run_noise_test_set
+
+    files = run_noise_test_set(
+        [ComputationMethod.Cpd, ComputationMethod.NoniterativeIcp],
+        output_dir=str(tmp_path),
+        size_cap=500,
+        only_ids=[4, 5],
+    )
+    # every reference noise config is cpd; other methods write nothing
+    assert not (tmp_path / "noise-nicp.csv").exists()
+    csv = tmp_path / "noise-cpd.csv"
+    tiers = tmp_path / "noise-tiers-cpd.jsonl"
+    assert str(csv) in files and str(tiers) in files
+    rows = [ln for ln in csv.read_text().splitlines() if ln.strip()]
+    assert rows[0] == (
+        "test-no;cloud-size;rotation;translation;time(ms);iterations;error"
+    )
+    assert len(rows) == 3  # header + 2 configs
+    graded = [json.loads(ln) for ln in tiers.read_text().splitlines()]
+    assert [g["id"] for g in graded] == [4, 5]
+    for g in graded:
+        assert g["tier"] in ("recover", "align", "never-worse")
+        assert "reference_note" in g and "gt_mse" in g
+        assert isinstance(g["ok"], bool)

@@ -216,18 +216,19 @@ def main():
     dt = timeit(lambda i: stage_c(warm_pts * (1.0 + 1e-7 * i)))
     print(f"C rescore kernel  : {dt*1e3:8.1f} ms", flush=True)
 
-    # ---- stage D: dense kernel -----------------------------------------
-    from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
+    # ---- stage D: dense kernel (skippable — known-slow at 1M+) ----------
+    if not os.environ.get("SKIP_DENSE"):
+        from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
 
-    @jax.jit
-    def stage_d(pts):
-        idx, dist = nearest_neighbors_pallas(
-            pts, target.original_points, target.count
-        )
-        return dist
+        @jax.jit
+        def stage_d(pts):
+            idx, dist = nearest_neighbors_pallas(
+                pts, target.original_points, target.count
+            )
+            return dist
 
-    dt = timeit(lambda i: stage_d(warm_pts * (1.0 + 1e-7 * i)), reps=1)
-    print(f"D dense kernel    : {dt*1e3:8.1f} ms", flush=True)
+        dt = timeit(lambda i: stage_d(warm_pts * (1.0 + 1e-7 * i)), reps=1)
+        print(f"D dense kernel    : {dt*1e3:8.1f} ms", flush=True)
 
     # ---- stage E: full hier call ----------------------------------------
     @jax.jit

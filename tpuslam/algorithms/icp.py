@@ -159,19 +159,24 @@ def icp_register(
     if use_spatial:
         from tpuslam.core.types import round_up
         from tpuslam.ops.nn_hier import (
-            DEFAULT_G,
-            DEFAULT_GSRC,
+            auto_tile_params,
             nearest_neighbors_hier,
             prepare_hier_target,
         )
         from tpuslam.ops.spatial import morton_permutation
 
-        # the hier path tiles sources/targets in 256-row groups; clouds
-        # are only guaranteed 128-aligned (pad_cloud), so pad here with
-        # masked rows (zero weight, sentineled in the target build)
+        # size-scaled tile parameters (tools/stage_1m.py sweeps): at 1M+
+        # the default g=256 overflowed the candidate budget every
+        # iteration and fell back to the dense kernel (VERDICT r2 #2)
+        g, gsrc, l_budget = auto_tile_params(after.points.shape[0])
+
+        # the hier path tiles sources/targets in g/gsrc-row groups;
+        # clouds are only guaranteed 128-aligned (pad_cloud), so pad
+        # here with masked rows (zero weight, sentineled in the target
+        # build)
         n0, m0 = before.points.shape[0], after.points.shape[0]
-        n_pad = round_up(n0, DEFAULT_GSRC)
-        m_pad = round_up(m0, DEFAULT_G)
+        n_pad = round_up(n0, gsrc)
+        m_pad = round_up(m0, g)
         b_points = jnp.pad(before.points, ((0, n_pad - n0), (0, 0)))
         src_mask = jnp.pad(src_mask, (0, n_pad - n0))
         a_points = jnp.pad(after.points, ((0, m_pad - m0), (0, 0)))
@@ -180,13 +185,16 @@ def icp_register(
         perm_s = morton_permutation(b_points, src_mask)
         src_points = b_points[perm_s]
         src_mask = src_mask[perm_s]
-        target_state = prepare_hier_target(a_points, a_mask, after.count)
+        target_state = prepare_hier_target(
+            a_points, a_mask, after.count, g=g
+        )
 
         interpret = jax.default_backend() != "tpu"
 
         def run_nn(transformed, s: ICPState):
             return nearest_neighbors_hier(
                 transformed, src_mask, target_state, s.nn,
+                l_budget=l_budget, g=g, gsrc=gsrc,
                 interpret=interpret,
             )
     else:

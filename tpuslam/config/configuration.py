@@ -101,6 +101,12 @@ class Configuration:
     # registration (.obj / .off, tpuslam.data.writer) — the reference
     # only prints the transform
     save_output_path: Optional[str] = None
+    # extension: NICP in-plane candidate widening on (near-)degenerate
+    # inertia spectra (rotationally symmetric clouds).  None = auto
+    # (host-side eigengap pre-pass picks the axes; 16 angles),
+    # 0 = off, N > 1 = force N angles per degenerate axis.  See
+    # tpuslam.algorithms.nicp.degenerate_axes_for.
+    nicp_degenerate_widening: Optional[int] = None
 
     def print(self) -> str:
         """Config echo in the spirit of ``configuration.cpp:4-114``."""
@@ -151,6 +157,8 @@ class Configuration:
             f"cpd-centroid-init: {str(self.cpd_centroid_init).lower()}",
             f"icp-prealign: {str(self.icp_prealign).lower()}",
             f"save-output-path: {self.save_output_path}",
+            f"nicp-degenerate-widening: "
+            f"{'auto' if self.nicp_degenerate_widening is None else self.nicp_degenerate_widening}",
         ]
         text = "\n".join(lines)
         print(text)

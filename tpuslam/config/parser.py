@@ -230,6 +230,12 @@ class ConfigParser:
         # extension key: write the transformed cloud after registration
         sop = opt(parsed, "save-output-path", None)
         c.save_output_path = str(sop) if sop is not None else None
+        # extension key: NICP degenerate-spectrum candidate widening
+        # (None/absent = auto eigengap pre-pass, 0 = off, N = N angles)
+        ndw = opt(parsed, "nicp-degenerate-widening", None)
+        c.nicp_degenerate_widening = (
+            int(ndw) if ndw is not None else None
+        )
 
     def _validate(self) -> None:
         if self.config.transformation is None and (

@@ -23,6 +23,7 @@ behavioral oracle.
 from __future__ import annotations
 
 import os
+import sys
 
 import numpy as np
 
@@ -99,6 +100,119 @@ def _load_off(path: str) -> np.ndarray:
             out[filled, 2] = float(parts[2])
             filled += 1
         return out[:filled].copy()
+
+
+# numpy dtype + byte size per PLY scalar type name (both naming schemes)
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def _load_ply(path: str) -> np.ndarray:
+    """Parse PLY (ascii / binary little- or big-endian): the vertex
+    element's (x, y, z) properties, extra per-vertex properties skipped.
+
+    Like the OFF path, the vertex list is taken as-is (no per-face-corner
+    duplication): the reference's Assimp PLY importer also builds one
+    mesh vertex per PLY vertex element (``loader.cpp:30-66`` merges mesh
+    vertex buffers; PLY faces index a shared vertex list, unlike OBJ's
+    per-corner attribute tuples).  Faces are ignored.  Anything
+    malformed yields an empty cloud (the ``LoadCloud`` failure contract,
+    ``common.cpp:16-23``)."""
+    with open(path, "rb") as fh:
+        if fh.readline().strip() != b"ply":
+            return np.zeros((0, 3), dtype=np.float32)
+        fmt = None
+        elements: list[dict] = []
+        cur = None
+        while True:
+            raw = fh.readline()
+            if not raw:  # EOF before end_header
+                return np.zeros((0, 3), dtype=np.float32)
+            line = raw.decode("ascii", errors="replace").strip()
+            if not line or line.startswith(("comment", "obj_info")):
+                continue
+            parts = line.split()
+            if parts[0] == "format":
+                fmt = parts[1] if len(parts) > 1 else None
+            elif parts[0] == "element" and len(parts) >= 3:
+                cur = {"name": parts[1], "count": int(parts[2]),
+                       "props": []}
+                elements.append(cur)
+            elif parts[0] == "property" and cur is not None:
+                if len(parts) >= 5 and parts[1] == "list":
+                    cur["props"].append(("list", parts[2], parts[3],
+                                         parts[4]))
+                elif len(parts) >= 3:
+                    cur["props"].append(("scalar", parts[1], parts[2]))
+            elif parts[0] == "end_header":
+                break
+        if fmt not in ("ascii", "binary_little_endian",
+                       "binary_big_endian"):
+            return np.zeros((0, 3), dtype=np.float32)
+        vertex = next(
+            (e for e in elements if e["name"] == "vertex"), None
+        )
+        if vertex is None or vertex["count"] <= 0:
+            return np.zeros((0, 3), dtype=np.float32)
+        names = [p[2] if p[0] == "scalar" else None
+                 for p in vertex["props"]]
+        try:
+            cols = [names.index(c) for c in ("x", "y", "z")]
+        except ValueError:
+            return np.zeros((0, 3), dtype=np.float32)
+
+        if fmt == "ascii":
+            # elements appear in declaration order; list-carrying
+            # elements before vertex are consumed row by row
+            for e in elements:
+                if e is vertex:
+                    break
+                for _ in range(e["count"]):
+                    if not fh.readline():
+                        return np.zeros((0, 3), dtype=np.float32)
+            out = np.empty((vertex["count"], 3), dtype=np.float32)
+            filled = 0
+            while filled < vertex["count"]:
+                raw = fh.readline()
+                if not raw:
+                    break
+                toks = raw.split()
+                if not toks:
+                    continue
+                out[filled] = [float(toks[c]) for c in cols]
+                filled += 1
+            return out[:filled].copy()
+
+        # binary: the vertex element must be reachable by fixed strides
+        # (a variable-length list BEFORE it cannot be skipped blindly)
+        endian = "<" if fmt == "binary_little_endian" else ">"
+        for e in elements:
+            if e is vertex:
+                break
+            if any(p[0] == "list" for p in e["props"]):
+                return np.zeros((0, 3), dtype=np.float32)
+            stride = sum(
+                np.dtype(_PLY_TYPES[p[1]]).itemsize for p in e["props"]
+            )
+            fh.seek(e["count"] * stride, os.SEEK_CUR)
+        if any(p[0] != "scalar" or p[1] not in _PLY_TYPES
+               for p in vertex["props"]):
+            return np.zeros((0, 3), dtype=np.float32)
+        dt = np.dtype(
+            [(f"p{i}", endian + _PLY_TYPES[p[1]])
+             for i, p in enumerate(vertex["props"])]
+        )
+        buf = fh.read(dt.itemsize * vertex["count"])
+        rows = np.frombuffer(buf, dtype=dt,
+                             count=len(buf) // dt.itemsize)
+        out = np.empty((len(rows), 3), dtype=np.float32)
+        for k, c in enumerate(cols):
+            out[:, k] = rows[f"p{c}"].astype(np.float32)
+        return out
 
 
 # Relative cloud paths (the reference's configs use e.g. "data/bunny.obj")
@@ -182,6 +296,17 @@ def load_cloud(path: str) -> np.ndarray:
             except ImportError:
                 pass
             return _load_off(path)
+        if ext == ".ply":
+            return _load_ply(path)
     except Exception:  # noqa: BLE001 — unparsable => empty, like Assimp failure
         return np.zeros((0, 3), dtype=np.float32)
+    # unsupported format: keep the empty-cloud contract, but say so
+    # loudly instead of silently registering nothing (the reference's
+    # Assimp accepts many formats, loader.cpp:30-66 — here a user
+    # pointing a config at e.g. cloud.stl must learn why it is empty)
+    print(
+        f"[tpuslam] unsupported cloud format '{ext}' for {path} "
+        f"(supported: .obj, .off, .ply, synthetic://N)",
+        file=sys.stderr,
+    )
     return np.zeros((0, 3), dtype=np.float32)

@@ -133,10 +133,19 @@ def run_test_set_cli(args: List[str]) -> int:
         else:
             print(f"Unknown flag {flag}")
             return 1
-    files = run_test_set(
-        TEST_SETS[name], name, methods, output_dir=out_dir, warmup=warmup,
-        resume=resume,
-    )
+    if name == "noise":
+        # the noise suite carries a ground-truth grading sidecar
+        # (noise-tiers-<method>.jsonl) on top of the reference CSV
+        from tpuslam.harness.noise import run_noise_test_set
+
+        files = run_noise_test_set(
+            methods, output_dir=out_dir, warmup=warmup, resume=resume
+        )
+    else:
+        files = run_test_set(
+            TEST_SETS[name], name, methods, output_dir=out_dir,
+            warmup=warmup, resume=resume,
+        )
     print("Wrote: " + ", ".join(files))
     return 0
 

@@ -164,8 +164,19 @@ def get_convergence_test_set(method: ComputationMethod) -> List[Configuration]:
     return out
 
 
+def get_noise_test_set(method: ComputationMethod) -> List[Configuration]:
+    """The reference's 39-config noise/outlier robustness suite
+    (``doc/noise/configs``) as a first-class test set — this method's
+    slice at full size.  ``--test-set noise`` additionally writes the
+    graded tier sidecar (``tpuslam.harness.noise.run_noise_test_set``)."""
+    from tpuslam.harness.noise import get_noise_test_set as _gen
+
+    return _gen(method)
+
+
 TEST_SETS: Dict[str, Callable[[ComputationMethod], List[Configuration]]] = {
     "sizes": get_sizes_test_set,
     "performance": get_performance_test_set,
     "convergence": get_convergence_test_set,
+    "noise": get_noise_test_set,
 }

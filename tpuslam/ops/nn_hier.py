@@ -95,6 +95,31 @@ def table_width(m: int, g: int = DEFAULT_G,
     return -(-min(l_budget, c) // 8) * 8
 
 
+def auto_tile_params(m: int) -> Tuple[int, int, int]:
+    """Size-scaled ``(g, gsrc, l_budget)``, swept on v5e
+    (``tools/stage_1m.py``; VERDICT r2 #2 diagnosis).
+
+    The admissible-tile count per source group grows with the tile
+    count ``C = M/g`` — at 1.3M points the default g=256 gives C=5120
+    and warm-state counts of mean 180 / max 434, overflowing the L=160
+    budget EVERY iteration, so every iteration paid the ~6 s dense
+    fallback.  Scaling g to hold C ~<= 1280 and widening the budget at
+    large C restores the sparse arm: measured 846 ms/iter at 1.3M with
+    (g=1024, gsrc=256, L=320) vs 5.8 s before — the bound pass also
+    shrinks 4x (it is O(N C)).  Sweep record: L=256 saves 4% per sparse
+    iteration but enters the sparse regime one ~6 s dense iteration
+    later (net loss); gsrc=128 is 1.4x worse (more, smaller kernel
+    launches); g=512 with L=512 spills registers in the rescore kernel.
+    Small sizes keep the 100k-tuned defaults (counts mean 64 / max 129
+    under L=160)."""
+    g = DEFAULT_G
+    while m // g > 1280:
+        g *= 2
+    c = max(m // g, 1)
+    l_budget = DEFAULT_L if c <= 640 else 320
+    return g, DEFAULT_GSRC, l_budget
+
+
 def hier_state_init(n: int, m: int = 0) -> HierState:
     del m  # kept for call-site stability; state no longer depends on it
     return HierState(

@@ -26,7 +26,7 @@ from tpuslam.parallel.nn import sharded_nn_combine
 
 @lru_cache(maxsize=16)
 def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
-           interpret: bool):
+           interpret: bool, tile_params=None):
     def loop(before_pts, src_mask, tgt_shard, tgt_count,
              eps, max_d2, max_iterations):
         if use_spatial:
@@ -54,14 +54,19 @@ def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
             mask_shard = (
                 jnp.arange(shard_size, dtype=jnp.int32) < count_shard
             ).astype(jnp.float32)
+            # size-scaled tile parameters for the PER-SHARD slice
+            # (tpuslam.ops.nn_hier.auto_tile_params, resolved by the
+            # caller from the padded shard size)
+            g, gsrc, l_budget = tile_params
             htarget = prepare_hier_target(
-                tgt_shard, mask_shard, count_shard
+                tgt_shard, mask_shard, count_shard, g=g
             )
             nn_init = hier_state_init(before_pts.shape[0])
 
             def run_nn(transformed, carry):
                 il, dl, carry = nearest_neighbors_hier(
                     transformed, src_mask, htarget, carry,
+                    l_budget=l_budget, g=g, gsrc=gsrc,
                     interpret=interpret,
                 )
                 # lex-min tie-break and winner gather are the shared
@@ -180,15 +185,20 @@ def icp_register_sharded(
 
     b_points, b_mask = before.points, before.mask()
     a_points, a_count = after.points, after.count
+    tile_params = None
     if use_spatial:
         from tpuslam.core.types import round_up
-        from tpuslam.ops.nn_hier import DEFAULT_G, DEFAULT_GSRC
+        from tpuslam.ops.nn_hier import auto_tile_params
         from tpuslam.ops.spatial import morton_permutation
 
         n_dev = mesh.devices.size
         n0, m0 = b_points.shape[0], a_points.shape[0]
-        n_pad = round_up(n0, DEFAULT_GSRC)
-        m_pad = round_up(m0, DEFAULT_G * n_dev)
+        # tile parameters follow the PER-SHARD slice size (each device
+        # bounds and rescores only its own target slice)
+        g, gsrc, l_budget = auto_tile_params(-(-m0 // n_dev))
+        tile_params = (g, gsrc, l_budget)
+        n_pad = round_up(n0, gsrc)
+        m_pad = round_up(m0, g * n_dev)
         b_points = jnp.pad(b_points, ((0, n_pad - n0), (0, 0)))
         b_mask = jnp.pad(b_mask, (0, n_pad - n0))
         a_points = jnp.pad(a_points, ((0, m_pad - m0), (0, 0)))
@@ -198,7 +208,7 @@ def icp_register_sharded(
         b_mask = b_mask[perm_s]
 
     interpret = _jax.default_backend() != "tpu"
-    fn = _build(mesh, divergence_guard, use_spatial, interpret)
+    fn = _build(mesh, divergence_guard, use_spatial, interpret, tile_params)
     rotation, translation, iterations, error = fn(
         b_points,
         b_mask,
