@@ -176,23 +176,17 @@ def _cpd_estep_pallas_auto(
     (batched registration) lowers to the 3-D-grid batched kernels
     instead of failing to batch the pallas_call.
 
-    Small moving clouds take the single-pass kernel (the whole Gaussian
-    strip held in VMEM, ``exp`` computed once instead of twice —
-    ``pallas_cpd.cpd_estep_pallas_single``); larger ones the two-phase
-    flash-style recompute."""
-    from tpuslam.core.types import round_up
-    from tpuslam.kernels.pallas_cpd import (
-        SINGLE_PASS_M_CAP,
-        cpd_estep_pallas,
-        cpd_estep_pallas_single,
-    )
+    One kernel body for every size: the two-phase flash-style
+    recompute.  A single-pass VMEM-resident variant (exp computed once)
+    existed through round 2 but was RETIRED after honest amortized
+    measurement (tools/estep_chain.py, a lax.scan chain of 20 E-steps
+    per dispatch): at 8k it was 1.12x SLOWER than two-phase (1.24 vs
+    1.10 ms) — the apparent small-size gap was ~9 ms of per-dispatch
+    relay latency, not kernel time, and the two-phase kernel already
+    runs 108 Gpairs/s at 20k (within 1.16x of its 376k-scale rate)."""
+    from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
 
-    kernel = (
-        cpd_estep_pallas_single
-        if round_up(transformed.shape[0], 1024) <= SINGLE_PASS_M_CAP
-        else cpd_estep_pallas
-    )
-    return kernel(
+    return cpd_estep_pallas(
         transformed, moving_mask, target, target_mask, sigma2, constant,
         trunc_active, interpret=jax.default_backend() != "tpu",
     )

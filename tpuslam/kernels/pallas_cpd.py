@@ -102,135 +102,14 @@ def cpd_estep_pallas(
     )
 
 
-# single-pass variant: padded moving-cloud cap (the [M, BN] Gaussian
-# strip plus one elementwise temporary must fit VMEM; 8192 x 128 f32 is
-# 4 MB each)
-SINGLE_PASS_M_CAP = 8192
-_BN_SINGLE = 128
-_CHUNK = 1024  # moment-matmul subtile rows
-
-
-def _single_kernel(sc_ref, ty_ref, xT_ref, tm_ref, denom_ref, acc_ref):
-    """One grid step = one target tile: the Gaussian strip ``g`` [M, BN]
-    is computed ONCE and consumed for both the denominators (sublane
-    sum) and the moments (chunked MXU contraction along the BN lanes),
-    instead of the two-phase kernel's flash-style recompute.  Only legal
-    when the whole strip fits VMEM — ``m <= SINGLE_PASS_M_CAP``."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    g = _gauss(ty_ref[:], xT_ref[:], sc_ref[0], sc_ref[2], sc_ref[3])
-    denom = sc_ref[1] + jnp.sum(g, axis=0, keepdims=True)  # [1, BN]
-    denom_ref[:] = denom
-
-    # weights in [4, BN] lane layout: W[0] = mask/denom, W[1:4] =
-    # x * mask/denom — padded targets get all-zero weight columns
-    inv = tm_ref[:] / denom
-    w4 = jnp.concatenate([inv, xT_ref[:] * inv], axis=0)  # [4, BN]
-    # hi/lo bf16 split: every retained product is exact in f32 (8-bit
-    # mantissas), the dropped lo*lo term is O(2^-16) relative — and all
-    # terms are >= 0, so there is no cancellation to amplify it
-    w_hi = w4.astype(jnp.bfloat16)
-    w_lo = (w4 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    m = g.shape[0]
-    dims = (((1,), (1,)), ((), ()))  # contract the BN lanes of both
-    for k in range(m // _CHUNK):
-        gc = g[k * _CHUNK:(k + 1) * _CHUNK, :]
-        g_hi = gc.astype(jnp.bfloat16)
-        g_lo = (gc - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            g_hi, w_hi, dims, preferred_element_type=jnp.float32
-        )
-        part += jax.lax.dot_general(
-            g_hi, w_lo, dims, preferred_element_type=jnp.float32
-        )
-        part += jax.lax.dot_general(
-            g_lo, w_hi, dims, preferred_element_type=jnp.float32
-        )
-        acc_ref[k * _CHUNK:(k + 1) * _CHUNK, :] += part
-
-
-@functools.partial(jax.jit, static_argnames=("truncate", "interpret"))
-def cpd_estep_pallas_single(
-    transformed: jnp.ndarray,
-    moving_mask: jnp.ndarray,
-    target: jnp.ndarray,
-    target_mask: jnp.ndarray,
-    sigma2: jnp.ndarray,
-    constant: jnp.ndarray,
-    trunc_active: jnp.ndarray,
-    truncate: float = 1e-3,
-    interpret: bool = False,
-) -> Sufficient:
-    """Single-pass E-step for small moving clouds (padded
-    ``M <= SINGLE_PASS_M_CAP``): one kernel, ``exp`` evaluated once per
-    (moving, target) pair instead of twice.  Same contract as
-    ``cpd_estep_pallas``."""
-    m0 = transformed.shape[0]
-    n0 = target.shape[0]
-    m = round_up(m0, _CHUNK)
-    n = round_up(n0, _BN_SINGLE)
-    assert m <= SINGLE_PASS_M_CAP, "moving cloud too large for single-pass"
-    if m != m0:
-        transformed = jnp.pad(transformed, ((0, m - m0), (0, 0)))
-        moving_mask = jnp.pad(moving_mask, (0, m - m0))
-    if n != n0:
-        target = jnp.pad(target, ((0, n - n0), (0, 0)))
-        target_mask = jnp.pad(target_mask, (0, n - n0))
-    bn = _BN_SINGLE
-
-    ty = jnp.where(moving_mask[:, None] > 0, transformed, SENTINEL)
-    scalars = jnp.stack(
-        [
-            -0.5 / sigma2,
-            constant,
-            trunc_active.astype(jnp.float32),
-            jnp.float32(math.log(truncate)),
-        ]
-    )
-
-    denom, acc = pl.pallas_call(
-        _single_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n // bn,),
-            in_specs=[
-                pl.BlockSpec((m, 3), lambda i, *_: (0, 0)),
-                pl.BlockSpec((3, bn), lambda i, *_: (0, i)),
-                pl.BlockSpec((1, bn), lambda i, *_: (0, i)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, bn), lambda i, *_: (0, i)),
-                pl.BlockSpec((m, 4), lambda i, *_: (0, 0)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((m, 4), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=(12 + 16) * n * m,
-            bytes_accessed=(n * 3 + n * m // (n // bn) + n + m * 4) * 4,
-            transcendentals=n * m,
-        ),
-        interpret=interpret,
-    )(scalars, ty, target.T, target_mask.reshape(1, n))
-    denom = denom.reshape(n)
-
-    pt1 = (1.0 - constant / denom) * target_mask
-    p1 = acc[:, 0] * moving_mask
-    px = acc[:, 1:4] * moving_mask[:, None]
-    n_valid = jnp.sum(target_mask)
-    err = (
-        -jnp.sum(jnp.log(denom) * target_mask)
-        + 3.0 * n_valid * jnp.log(sigma2) / 2.0
-    )
-    return Sufficient(
-        p1=p1[:m0], pt1=pt1[:n0], px=px[:m0], error=err
-    )
+# NOTE: a single-pass VMEM-resident E-step variant (the Gaussian strip
+# computed once, consumed for denominators AND moments via hi/lo bf16
+# MXU contractions) lived here through round 2, gated at padded
+# M <= 8192.  It was RETIRED after amortized measurement
+# (tools/estep_chain.py): 1.12x slower than the two-phase recompute at
+# 8k — exp was never the bound, and the one-shot timings that motivated
+# it were dominated by ~9 ms of per-dispatch relay latency.  One kernel
+# body (two-phase) now serves every size.
 
 
 def _denom_kernel_batch(sc_ref, ty_ref, xT_ref, denom_ref):
