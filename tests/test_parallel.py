@@ -396,3 +396,80 @@ def test_sharded_icp_prealigned_recovers_large_motion(rng, mesh):
         np.sum((before @ rot.T + trans - (before @ r.T + t)) ** 2, -1)
     )
     assert mse < 1e-3
+
+
+def test_comm_model_matches_traced_collectives(mesh):
+    """The pod-scaling claim is a calculation (docs/DESIGN.md): the byte
+    model in tpuslam.parallel.comm_model must equal the collectives the
+    sharded programs ACTUALLY trace — counted from the jaxpr (loop-body
+    collectives once = per-iteration accounting), so the model can never
+    silently drift from the code."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.config.configuration import ApproximationType
+    from tpuslam.parallel.comm_model import (
+        cpd_comm_bytes,
+        cpd_init_comm_bytes,
+        icp_comm_bytes,
+        nicp_comm_bytes,
+        total_collective_bytes,
+    )
+
+    n, m = 1024, 2048  # padded; m divisible by 8 devices
+    f32 = jnp.float32
+
+    # --- ICP (dense arm; the hier arm shares lexmin_combine) ----------
+    from tpuslam.parallel import icp as picp
+
+    fn = picp._build(mesh, True, False, True, None)
+    jx = jax.make_jaxpr(fn)(
+        jnp.zeros((n, 3), f32), jnp.ones((n,), f32),
+        jnp.zeros((m, 3), f32), jnp.int32(m),
+        f32(1e-3), f32(1e9), jnp.int32(5),
+    )
+    got = total_collective_bytes(jx)
+    want = icp_comm_bytes(n)["total"]
+    assert got == want, (got, want)
+
+    # --- CPD (exact E-step) --------------------------------------------
+    from tpuslam.parallel import cpd as pcpd
+
+    fnc = pcpd._build(mesh, False, ApproximationType.NONE)
+    jxc = jax.make_jaxpr(fnc)(
+        jnp.zeros((n, 3), f32), jnp.ones((n,), f32),
+        jnp.zeros((m, 3), f32), jnp.int32(m),
+        f32(0.1), f32(1e-3), f32(1e-3), jnp.int32(5),
+    )
+    got = total_collective_bytes(jxc)
+    want = (
+        cpd_comm_bytes(n)["total"] + cpd_init_comm_bytes()["total"]
+    )
+    assert got == want, (got, want)
+
+    # --- NICP (one shot + batched rescore combine) ----------------------
+    from tpuslam.parallel import nicp as pnicp
+
+    k = 256
+    fnn = pnicp._build(mesh)
+    jxn = jax.make_jaxpr(fnn)(
+        jnp.zeros((n, 3), f32), jnp.ones((n,), f32),
+        jnp.zeros((m, 3), f32), jnp.int32(m),
+        jnp.zeros((k,), jnp.int32),
+    )
+    got = total_collective_bytes(jxn)
+    want = nicp_comm_bytes(k)["total"]
+    assert got == want, (got, want)
+
+
+def test_comm_model_efficiency_prediction():
+    """The BASELINE >= 75% two-host claim, computed from the verified
+    byte model + measured single-chip iteration time + v5e link rates."""
+    from tpuslam.parallel.comm_model import two_host_efficiency_report
+
+    rep = two_host_efficiency_report()
+    # ICP at 1.3M moves 20 bytes/source-row/iteration; at 579 ms/iter
+    # single-chip compute the communicated share is ~1%
+    assert rep["one_to_two_host_scaling_efficiency"] > 0.95
+    assert rep["efficiency_vs_single_chip_8dev"] > 0.90
+    assert rep["comm_bytes_per_iter"] == 20 * 1_310_720

@@ -145,10 +145,19 @@ def main() -> int:
             )
         ),
     }
+    if not honest:
+        # collectives-on-one-CPU timings carry no information and a
+        # recorded file invites misreading (VERDICT r2 weak #7): print
+        # only, never persist.  The predictive story lives in
+        # tpuslam.parallel.comm_model (byte model verified against the
+        # traced collectives) instead.
+        print(json.dumps(out))
+        print("virtual-mesh run: not persisted (plumbing check only)")
+        return 0
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_results",
-        "scaling.json" if honest else "scaling_virtual.json",
+        "scaling.json",
     )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
