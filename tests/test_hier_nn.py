@@ -183,7 +183,7 @@ def test_cand_kernel_segments_large_tables(rng, monkeypatch):
     # ts = 8 groups; cap 3 forces 3 segments with a padded tail.  The
     # cap is read at TRACE time, so patch before any call and drop any
     # cached trace of these shapes from earlier tests.
-    monkeypatch.setattr(cand_mod, "MAX_TABLE_GROUPS", 3)
+    monkeypatch.setattr(cand_mod, "max_table_groups", lambda width: 3)
     nearest_neighbors_hier.clear_cache()
     cand_mod.nearest_neighbors_cand.clear_cache()
 
@@ -279,13 +279,15 @@ def test_auto_tile_params_scaling():
     # the tile count C <= 1280, the budget widens at large C — at 1M+
     # the old fixed (256, 256, 160) overflowed every warm iteration and
     # fell back to the ~6 s dense scan (VERDICT r2 #2)
-    from tpuslam.ops.nn_hier import DEFAULT_G, DEFAULT_L, auto_tile_params
+    from tpuslam.ops.nn_hier import (
+        DEFAULT_G, DEFAULT_GSRC, DEFAULT_L, auto_tile_params,
+    )
 
-    assert auto_tile_params(102_400) == (DEFAULT_G, 256, DEFAULT_L)
+    assert auto_tile_params(102_400) == (DEFAULT_G, DEFAULT_GSRC, DEFAULT_L)
     g, gsrc, l = auto_tile_params(1_310_720)
-    assert g == 1024 and l == 320
-    assert 1_310_720 // g <= 1280
+    assert g == 512 and gsrc == 512 and l == 512
+    assert 1_310_720 // g <= 2560
     g2, _, _ = auto_tile_params(655_360)
-    assert 655_360 // g2 <= 1280
+    assert 655_360 // g2 <= 2560
     # tiny clouds never shrink below the defaults
-    assert auto_tile_params(512) == (DEFAULT_G, 256, DEFAULT_L)
+    assert auto_tile_params(512) == (DEFAULT_G, DEFAULT_GSRC, DEFAULT_L)

@@ -48,11 +48,15 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.4e38
 IMAX = 2**31 - 1
 SLOTS_PER_STEP = 8
-# scalar-prefetch operands live in SMEM (1 MB/core); the candidate
-# table is [groups, width] i32 with the minor dim padded up to 256, so
-# cap the groups per kernel launch and lax.map over source segments
-# beyond it (512 * 256 * 4 = 512 KB)
-MAX_TABLE_GROUPS = 512
+# scalar-prefetch operands live in SMEM (1 MB/core); cap the candidate
+# table [groups, width] i32 at ~512 KB per launch and lax.map over
+# source segments beyond it (width-aware: wide budgets at the 1M+
+# rungs shrink the per-launch group count)
+_TABLE_SMEM_BYTES = 512 * 1024
+
+
+def max_table_groups(width: int) -> int:
+    return max(1, _TABLE_SMEM_BYTES // (max(width, 1) * 4))
 
 
 def _make_kernel(slots: int):
@@ -122,11 +126,11 @@ def nearest_neighbors_cand(
     assert counts.shape == (ts,)
     s = slots
 
-    if ts > MAX_TABLE_GROUPS:
+    if ts > max_table_groups(l_slots):
         # segment the source axis so each launch's SMEM table fits;
         # padded segments carry zero live slots (no compute, outputs
         # fall through to the no-match contract and are sliced off)
-        seg = MAX_TABLE_GROUPS
+        seg = max_table_groups(l_slots)
         n_segs = -(-ts // seg)
         pad_g = n_segs * seg - ts
         src_t = jnp.pad(

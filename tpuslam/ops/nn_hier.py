@@ -56,9 +56,9 @@ from tpuslam.ops.spatial import morton_permutation, tile_bounds
 
 BIG = 3.4e38
 IMAX = 2**31 - 1
-DEFAULT_G = 256  # target rows per candidate tile
-DEFAULT_GSRC = 256  # source rows per rescore group
-DEFAULT_L = 160  # candidate-tile budget (slots, multiple of 8)
+DEFAULT_G = 128  # target rows per candidate tile
+DEFAULT_GSRC = 1024  # source rows per rescore group (see auto_tile_params)
+DEFAULT_L = 256  # candidate-tile budget (slots, multiple of 8)
 # hi/lo-split matmul error: dropped terms are <= ~4*2^-16*(|s||c|+|c|^2)
 # plus f32 accumulation; 8e-5 over-covers the 6.1e-5 worst case
 _EPS_REL = 8e-5
@@ -97,27 +97,45 @@ def table_width(m: int, g: int = DEFAULT_G,
 
 def auto_tile_params(m: int) -> Tuple[int, int, int]:
     """Size-scaled ``(g, gsrc, l_budget)``, swept on v5e
-    (``tools/stage_1m.py``; VERDICT r2 #2 diagnosis).
+    (``tools/stage_1m.py`` for the 1M regime, VERDICT r2 #2 diagnosis;
+    ``tools/probe_rescore.py`` for the rescore-kernel structure,
+    round 3).
 
-    The admissible-tile count per source group grows with the tile
-    count ``C = M/g`` — at 1.3M points the default g=256 gives C=5120
-    and warm-state counts of mean 180 / max 434, overflowing the L=160
-    budget EVERY iteration, so every iteration paid the ~6 s dense
-    fallback.  Scaling g to hold C ~<= 1280 and widening the budget at
-    large C restores the sparse arm: measured 846 ms/iter at 1.3M with
-    (g=1024, gsrc=256, L=320) vs 5.8 s before — the bound pass also
-    shrinks 4x (it is O(N C)).  Sweep record: L=256 saves 4% per sparse
-    iteration but enters the sparse regime one ~6 s dense iteration
-    later (net loss); gsrc=128 is 1.4x worse (more, smaller kernel
-    launches); g=512 with L=512 spills registers in the rescore kernel.
-    Small sizes keep the 100k-tuned defaults (counts mean 64 / max 129
-    under L=160)."""
-    g = DEFAULT_G
-    while m // g > 1280:
+    ``g`` / ``l_budget``: the admissible-tile count per source group
+    grows with the tile count ``C = M/g`` — at 1.3M points a fixed
+    g=256 gives C=5120 and warm-state counts of mean ~200 / max ~470,
+    overflowing small budgets EVERY iteration, so every iteration paid
+    the ~6 s dense fallback (the round-2 diagnosis).  Scaling g to hold
+    C ~<= 2560 and widening the budget with C keeps the sparse arm
+    live: at 1.3M, (g=512, gsrc=512, L=512) measured 434 ms/iter vs
+    604 at (1024, 512, 320) and 846 at the round-2 (1024, 256, 320) —
+    finer tiles admit ~26% fewer ROWS, and the budget still clears the
+    warm count distribution (mean 150 / p99 274 / max 365 vs 512).
+    The bound pass is O(N C), so C is capped where its growth would eat
+    the rescore gain.
+
+    ``gsrc``: the rescore kernel's cost at steady state is dominated by
+    GRID-STEP machinery, not distance FLOPs — at 100k the round-2
+    (gsrc=256, L=160) table ran 8000 steps of which ~70% were dead
+    (count-gated) yet still paid ~0.6 us each, capping the kernel at
+    1.5 Tops/s vs the dense kernel's 3.2.  Widening the source group
+    cuts steps proportionally and widens the VPU tiles; with the fused
+    bound-pass kernel (kernels/pallas_bound.py) the finer g=128 tiles
+    became affordable too (admitted ROWS shrink ~2x even though tile
+    counts grow), and (g=128, gsrc=1024, L=256) measured 5.1 ms rescore
+    vs the round-2 9.2 — 118 vs 80 ICP it/s end to end at 100k.
+    gsrc=128 is 1.4x worse than 256; the VMEM ceiling binds gsrc at
+    large g (slot buffers + [g, gsrc] temporaries: g=1024 with
+    gsrc=1024 exceeds the 16 MB scoped limit), hence the g-conditional
+    clamp.
+    """
+    g = 128
+    while m // g > 2560:
         g *= 2
     c = max(m // g, 1)
-    l_budget = DEFAULT_L if c <= 640 else 320
-    return g, DEFAULT_GSRC, l_budget
+    l_budget = 256 if c <= 1280 else 512
+    gsrc = 1024 if g <= 256 else 512
+    return g, gsrc, l_budget
 
 
 def hier_state_init(n: int, m: int = 0) -> HierState:
@@ -268,90 +286,104 @@ def nearest_neighbors_hier(
     oracle for valid sources.  ``state`` from ``hier_state_init`` on the
     first call, then threaded through (positions must be of the same
     sorted source cloud, moving rigidly between calls)."""
+    from tpuslam.kernels.pallas_bound import bound_pass_pallas
     from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas
     from tpuslam.kernels.pallas_nn_cand import nearest_neighbors_cand
 
+    del bound_chunk_elems  # kept for call-site stability (pre-r3 knob)
     n = transformed.shape[0]
     m = target.packed.shape[0]
     c = m // g
+    if n < gsrc:  # small direct calls: one group is the whole cloud
+        gsrc = n
     ts = n // gsrc
     assert n % gsrc == 0
     width = table_width(m, g, l_budget)
     l_eff = min(l_budget, c)  # overflow threshold (true budget)
 
-    def bound_chunk(args):
-        """adm_tile rows for one chunk of source groups — everything
-        here is per-source-local, so the N x C distance matrix never
-        materializes beyond one chunk (at 1.3M points the full dc2
-        would be ~26 GB)."""
-        pos, mask_c, prev_pos, prev_dist = args
-        rows = pos.shape[0]
-        dc2, eps = _center_dc2(pos, target)
-        radii = target.radii
-        ub = jnp.min(
-            jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii[None, :],
-            axis=1,
-        )
-        delta_prev = jnp.linalg.norm(pos - prev_pos, axis=-1)
-        ub_warm = (
-            jnp.sqrt(prev_dist) * jnp.float32(1.0 + 1e-5)
-            + delta_prev
-            + jnp.float32(1e-6)
-        )
-        ub = jnp.where(state.warm, jnp.minimum(ub, ub_warm), ub)
-        ub = ub * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
-
-        # admissible <=> sqrt(max(dc2-eps,0)) - r_j <= ub, rearranged
-        # to one fused compare on dc2 (no lb materialization, no second
-        # sqrt pass)
-        thresh = (ub[:, None] + radii[None, :]) ** 2 + eps
-        adm = jnp.logical_and(dc2 <= thresh, (mask_c > 0)[:, None])
-        return jnp.any(adm.reshape(rows // gsrc, gsrc, c), axis=1)
-
-    # chunk the bound pass so the per-chunk [rows, C] intermediates stay
-    # ~<=256 MB; the [Ts, C] admissibility table itself is small
-    rows_per_chunk = max(
-        gsrc, (bound_chunk_elems // max(c, 1)) // gsrc * gsrc
+    # bound pass: the fused Pallas kernel (see kernels/pallas_bound.py)
+    # — the [N, C] distance matrix lives only in VMEM, one group block
+    # at a time (the jnp formulation paid ~4-6 HBM passes over it,
+    # ~2.1 ms/iter at 100k, and needed explicit chunking at 1.3M where
+    # the full dc2 would be ~26 GB).  Cheap [N]-sized prep stays in
+    # XLA: the hi/lo source split and the warm upper bound.
+    s_rel = transformed - target.center_ref
+    s2 = jnp.sum(s_rel * s_rel, axis=-1)
+    s_hi, s_lo = _split_hi_lo(s_rel)
+    neg2_hi = (-2.0 * s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    neg2_lo = (-2.0 * s_lo.astype(jnp.float32)).astype(jnp.bfloat16)
+    ones = jnp.ones_like(s2, jnp.bfloat16)[:, None]
+    saug = jnp.concatenate(
+        [
+            neg2_hi, neg2_hi, neg2_lo,  # vs c_hi, c_lo, c_hi
+            ones, ones,  # vs c2_hi, c2_lo
+            jnp.zeros_like(ones),  # pad to K=12
+        ],
+        axis=1,
     )
-    if rows_per_chunk >= n:
-        adm_tile = bound_chunk(
-            (transformed, src_mask, state.prev_pos, state.prev_dist)
-        )
-    else:
-        n_chunks = -(-n // rows_per_chunk)
-        pad = n_chunks * rows_per_chunk - n
-
-        def chunked(x):
-            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-            return x.reshape((n_chunks, rows_per_chunk) + x.shape[1:])
-
-        adm_tile = jax.lax.map(
-            bound_chunk,
-            (
-                chunked(transformed),
-                chunked(src_mask),  # pad rows masked -> no admissions
-                chunked(state.prev_pos),
-                chunked(state.prev_dist),
-            ),
-        ).reshape(-1, c)[:ts]
+    smax = jnp.sqrt(jnp.max(s2))
+    cmax = target.cmax
+    eps = (
+        jnp.float32(_EPS_REL)
+        * (smax * cmax + cmax * cmax + smax * smax)
+        + jnp.float32(1e-6)
+    )
+    delta_prev = jnp.linalg.norm(transformed - state.prev_pos, axis=-1)
+    ub_warm = (
+        jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
+        + delta_prev
+        + jnp.float32(1e-6)
+    )
+    aux = jnp.stack(
+        [
+            s2,
+            ub_warm,
+            (src_mask > 0).astype(jnp.float32),
+            jnp.zeros_like(s2),
+        ],
+        axis=1,
+    )
+    adm_tile = bound_pass_pallas(
+        saug, aux, target.caug, target.radii, eps, state.warm,
+        gsrc=gsrc, interpret=interpret,
+    )
     counts = jnp.sum(adm_tile, axis=1).astype(jnp.int32)
     overflow = jnp.any(counts > l_eff)
 
-    # admissible tile ids per group, ascending (key == tile id when
-    # admissible, C when not — one sort compacts them); dead slots then
-    # repeat the last live id (cummax) so their kernel DMA dedups with
-    # the neighbor and their compute is count-skipped
-    key = jnp.where(
-        adm_tile,
-        jnp.arange(c, dtype=jnp.int32)[None, :],
-        jnp.int32(c),
-    )
-    cand = jnp.sort(key, axis=1)[:, :min(width, c)]
-    cand = jnp.where(cand < c, cand, jnp.int32(-1))
-    if width > c:
-        cand = jnp.pad(
-            cand, ((0, 0), (0, width - c)), constant_values=-1
+    # admissible tile ids per group, ascending, compacted left WITHOUT a
+    # sort: slot k's id is the rank count ``sum_j 1[cumsum(adm)_j <= k]``
+    # (the position of the (k+1)-th set bit — cumsum increments exactly
+    # at admissible tiles).  XLA's TPU sort at [Ts, C] measured ~4.4 ms
+    # per 100k iteration in-loop (tools/stage_100k.py); the comparison-
+    # sum is pure VPU elementwise work, chunked over groups so the
+    # [chunk, C, width] intermediate stays ~<=64M elements.  Dead slots
+    # (k >= count) then repeat the last live id (cummax) so their kernel
+    # DMA dedups with the neighbor and their compute is count-skipped.
+    cum = jnp.cumsum(adm_tile.astype(jnp.int32), axis=1)  # [Ts, C]
+    slots = jnp.arange(width, dtype=jnp.int32)
+
+    def rank_chunk(cum_chunk):
+        return jnp.sum(
+            (cum_chunk[:, :, None] <= slots[None, None, :]).astype(
+                jnp.int32
+            ),
+            axis=1,
         )
+
+    groups_per_chunk = max(1, (64 * 1024 * 1024) // max(c * width, 1))
+    if groups_per_chunk >= ts:
+        cand = rank_chunk(cum)
+    else:
+        n_tc = -(-ts // groups_per_chunk)
+        pad_g = n_tc * groups_per_chunk - ts
+        cand = jax.lax.map(
+            rank_chunk,
+            jnp.pad(cum, ((0, pad_g), (0, 0))).reshape(
+                n_tc, groups_per_chunk, c
+            ),
+        ).reshape(-1, width)[:ts]
+    cand = jnp.where(slots[None, :] < jnp.minimum(counts, width)[:, None],
+                     cand, jnp.int32(-1))
     cand = jnp.maximum(jax.lax.cummax(cand, axis=1), 0)
 
     def dense(_):
