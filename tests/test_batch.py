@@ -114,11 +114,16 @@ def test_icp_batch_unrolled_hier_matches_vmapped(rng):
             atol=1e-6,
         )
         assert int(hier.iterations[i]) == int(solo.iterations)
-    # vmap arm cannot run the candidate kernel: loud error, not silence
-    with pytest.raises(ValueError, match="unroll"):
-        icp_register_batch(
-            bb, ba, max_iterations=12, unroll=False, use_spatial=True
-        )
+    # vmap arm runs the candidate kernel too since r3 (custom-vmap
+    # rule -> batch-grid kernels) and must match the unrolled arm
+    vmapped_hier = icp_register_batch(
+        bb, ba, max_iterations=12, unroll=False, use_spatial=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(vmapped_hier.transform.rotation),
+        np.asarray(hier.transform.rotation),
+        atol=1e-6,
+    )
 
 
 def test_nicp_batch_recovers(rng):
@@ -303,3 +308,35 @@ def test_register_pairs_cpd_honors_all_config_fields(rng):
         np.testing.assert_allclose(rots[i], r1, atol=1e-4)
         np.testing.assert_allclose(ts[i], t1, atol=1e-4)
         assert int(iters[i]) == int(it1)
+
+
+def test_batch_vmap_hier_equals_solo(rng):
+    """The vmapped lowering with the hierarchical NN (r3: batched via
+    the custom-vmap rule -> batch-grid bound/rescore kernels) must be
+    bit-identical to solo hier runs — including pairs of different
+    live sizes (padding) and the global dense-fallback cond."""
+    from tpuslam.core.types import Cloud
+
+    sizes = [700, 1024, 512]
+    befores, afters, _ = make_pairs(rng, sizes, angle=0.15, trans=2.0)
+    bb = stack_clouds(befores)
+    ba = stack_clouds(afters)
+    out = icp_register_batch(
+        bb, ba, eps=0.0, max_distance_squared=1e18, max_iterations=8,
+        divergence_guard=False, unroll=False, use_spatial=True,
+    )
+
+    for k in range(len(sizes)):
+        solo = icp_register(
+            Cloud(bb.points[k], bb.count[k]),
+            Cloud(ba.points[k], ba.count[k]),
+            eps=0.0, max_distance_squared=1e18, max_iterations=8,
+            divergence_guard=False, use_spatial=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.transform.rotation[k]),
+            np.asarray(solo.transform.rotation),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.error[k]), np.asarray(solo.error)
+        )

@@ -78,8 +78,9 @@ def icp_register_batch(
     either way; ``unroll`` (default: auto by the measured crossover
     above) picks between vmapping the while_loop and unrolling solo
     bodies per pair.  ``use_spatial`` (default auto, like solo) is
-    honored only by the unrolled lowering; the vmapped one is pinned to
-    the dense NN (the candidate kernel is not vmappable)."""
+    honored by BOTH lowerings since round 3: the vmapped one batches
+    the hierarchical NN through its custom-vmap rule
+    (``nearest_neighbors_hier_auto`` -> batch-grid kernels)."""
     if unroll is None:
         b, n = befores.points.shape[0], befores.points.shape[1]
         m = afters.points.shape[1]
@@ -106,20 +107,16 @@ def icp_register_batch(
                 RegistrationResult(r.transform, r.iterations, r.error)
             )
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-    if use_spatial:
-        raise ValueError(
-            "use_spatial=True requires the unrolled lowering "
-            "(the candidate kernel is not vmappable); pass unroll=True"
-        )
     fn = partial(
         icp_register,
         eps=eps,
         max_distance_squared=max_distance_squared,
         max_iterations=max_iterations,
-        # None = auto: on TPU the custom-vmap rule lowers the NN to one
-        # 3-D-grid batched Pallas kernel; on CPU XLA batches jnp tiles
+        # None = auto: on TPU the custom-vmap rules lower the NN to
+        # batch-grid Pallas kernels — the dense scan AND (new in r3)
+        # the hierarchical warm-start path (nearest_neighbors_hier_auto)
         use_pallas=None,
-        use_spatial=False,  # scalar-prefetch sparse kernel is not vmappable
+        use_spatial=use_spatial,
         divergence_guard=divergence_guard,
     )
     return jax.vmap(fn)(befores, afters)
@@ -255,7 +252,7 @@ def icp_register_prealigned_batch(
                 RegistrationResult(r.transform, r.iterations, r.error)
             )
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-    # vmap arm: the scalar-prefetch candidate kernel is not vmappable
+    # vmap arm: hier NN batches through the custom-vmap rule (r3)
     return jax.vmap(
-        lambda bb, aa, rr: fn(bb, aa, use_spatial=False, resume=rr)
+        lambda bb, aa, rr: fn(bb, aa, use_spatial=None, resume=rr)
     )(befores, afters, resume)

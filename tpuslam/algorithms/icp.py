@@ -160,7 +160,7 @@ def icp_register(
         from tpuslam.core.types import round_up
         from tpuslam.ops.nn_hier import (
             auto_tile_params,
-            nearest_neighbors_hier,
+            nearest_neighbors_hier_auto,
             prepare_hier_target,
         )
         from tpuslam.ops.spatial import morton_permutation
@@ -192,7 +192,10 @@ def icp_register(
         interpret = jax.default_backend() != "tpu"
 
         def run_nn(transformed, s: ICPState):
-            return nearest_neighbors_hier(
+            # vmap-aware front: a batched registration (jax.vmap over
+            # pairs) lowers to the batch-grid kernels instead of
+            # failing to batch the scalar-prefetch pallas_call
+            return nearest_neighbors_hier_auto(
                 transformed, src_mask, target_state, s.nn,
                 l_budget=l_budget, g=g, gsrc=gsrc,
                 interpret=interpret,

@@ -141,3 +141,92 @@ def bound_pass_pallas(
     if bs != gsrc:  # re-group fine row-blocks to gsrc granularity
         adm = jnp.any(adm.reshape(ts, gsrc // bs, c), axis=1)
     return adm
+
+
+def _bound_kernel_batch(eps_ref, warm_ref, saug_ref, aux_ref, caug_ref,
+                        radii_ref, adm_ref):
+    p = pl.program_id(0)
+    eps = eps_ref[p]
+    dc2 = jax.lax.dot_general(
+        saug_ref[0], caug_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + aux_ref[0, :, 0:1]  # [bs, C]
+    radii = radii_ref[0]  # [1, C]
+    ub = jnp.min(
+        jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii, axis=1,
+        keepdims=True,
+    )
+    ub = jnp.where(
+        warm_ref[p] > 0, jnp.minimum(ub, aux_ref[0, :, 1:2]), ub
+    )
+    ub = ub * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
+    thresh = (ub + radii) ** 2 + eps
+    adm = jnp.logical_and(dc2 <= thresh, aux_ref[0, :, 2:3] > 0.0)
+    adm_ref[:] = jnp.max(adm.astype(jnp.int32), axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("gsrc", "interpret"))
+def bound_pass_pallas_batch(
+    saug: jnp.ndarray,
+    aux: jnp.ndarray,
+    caug: jnp.ndarray,
+    radii: jnp.ndarray,
+    eps: jnp.ndarray,
+    warm: jnp.ndarray,
+    gsrc: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched bound pass: ``adm_tile`` bool[B, N//gsrc, C].
+
+    ``saug`` bf16[B, N, 12], ``aux`` f32[B, N, 4], ``caug``
+    bf16[B, 12, C], ``radii`` f32[B, C], ``eps`` f32[B], ``warm``
+    bool[B] — per-pair scalars ride scalar prefetch, indexed by the
+    batch grid coordinate."""
+    b, n = saug.shape[0], saug.shape[1]
+    c = caug.shape[2]
+    assert n % gsrc == 0
+    ts = n // gsrc
+    c_pad = round_up(c, 128)
+    if c_pad != c:
+        pad = jnp.zeros((b, 12, c_pad - c), caug.dtype)
+        pad = pad.at[:, 9, :].set(jnp.bfloat16(BIG))  # c2_hi row
+        caug = jnp.concatenate([caug, pad], axis=2)
+        radii = jnp.concatenate(
+            [radii, jnp.zeros((b, c_pad - c), radii.dtype)], axis=1
+        )
+    bs = gsrc
+    while bs > 128 and bs * c_pad * 4 > 6 * 1024 * 1024:
+        bs //= 2
+    assert n % bs == 0 and gsrc % bs == 0
+    nb = n // bs
+
+    adm = pl.pallas_call(
+        _bound_kernel_batch,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nb),
+            in_specs=[
+                pl.BlockSpec((1, bs, 12), lambda p, i, e, w: (p, i, 0)),
+                pl.BlockSpec((1, bs, 4), lambda p, i, e, w: (p, i, 0)),
+                pl.BlockSpec((1, 12, c_pad), lambda p, i, e, w: (p, 0, 0)),
+                pl.BlockSpec((1, 1, c_pad), lambda p, i, e, w: (p, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, c_pad), lambda p, i, e, w: (0, p * nb + i)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, b * nb * c_pad), jnp.int32),
+        interpret=interpret,
+    )(
+        eps.astype(jnp.float32),
+        warm.astype(jnp.int32),
+        saug,
+        aux,
+        caug,
+        radii.reshape(b, 1, c_pad),
+    )
+    adm = adm.reshape(b, nb, c_pad)[:, :, :c] > 0
+    if bs != gsrc:
+        adm = jnp.any(adm.reshape(b, ts, gsrc // bs, c), axis=2)
+    return adm

@@ -186,3 +186,127 @@ def nearest_neighbors_cand(
     dist = jnp.where(no_match, BIG, dist)
     idx = jnp.where(no_match, 0, idxf.astype(jnp.int32))
     return idx, dist
+
+
+def _make_kernel_batch(slots: int):
+    def kernel(counts_ref, cand_ref, srcT_ref, *refs):
+        del cand_ref
+        t_refs = refs[:slots]
+        dist_ref, idx_ref = refs[slots:]
+        p = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            dist_ref[:] = jnp.full_like(dist_ref, BIG)
+            idx_ref[:] = jnp.full_like(idx_ref, BIG)
+
+        live = counts_ref[p, i] - j * slots
+        sT = srcT_ref[0]  # [3, GSRC]
+        for r in range(slots):
+            @pl.when(r < live)
+            def _(r=r):
+                t = t_refs[r][0]  # [g, 4]
+                d = (t[:, 0:1] - sT[0:1, :]) ** 2
+                d += (t[:, 1:2] - sT[1:2, :]) ** 2
+                d += (t[:, 2:3] - sT[2:3, :]) ** 2
+
+                tile_min = jnp.min(d, axis=0, keepdims=True)
+                masked = jnp.where(d == tile_min, t[:, 3:4], BIG)
+                tile_arg = jnp.min(masked, axis=0, keepdims=True)
+
+                better = jnp.logical_or(
+                    tile_min < dist_ref[0],
+                    jnp.logical_and(
+                        tile_min == dist_ref[0], tile_arg < idx_ref[0]
+                    ),
+                )
+                dist_ref[0] = jnp.where(better, tile_min, dist_ref[0])
+                idx_ref[0] = jnp.where(better, tile_arg, idx_ref[0])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "gsrc", "slots", "interpret")
+)
+def nearest_neighbors_cand_batch(
+    src_sorted: jnp.ndarray,
+    tgt_packed: jnp.ndarray,
+    candidates: jnp.ndarray,
+    counts: jnp.ndarray,
+    g: int = 256,
+    gsrc: int = 256,
+    slots: int = SLOTS_PER_STEP,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched candidate rescore: one (B, groups, slot-steps) grid for
+    all B pairs (the multi-pair regime; same contract per pair as
+    ``nearest_neighbors_cand``).  ``src_sorted`` f32[B, N, 3],
+    ``tgt_packed`` f32[B, M, 4], ``candidates`` i32[B, ts, L],
+    ``counts`` i32[B, ts]."""
+    b, n = src_sorted.shape[0], src_sorted.shape[1]
+    m = tgt_packed.shape[1]
+    assert n % gsrc == 0 and m % g == 0
+    _, ts, l_slots = candidates.shape
+    assert ts == n // gsrc and l_slots % slots == 0
+    assert counts.shape == (b, ts)
+    s = slots
+
+    if b * ts > max_table_groups(l_slots):
+        # segment over the batch so the SMEM table fits; each pair is
+        # independent, so halving recursively is exact
+        half = b // 2
+        if half == 0:  # a single pair that still overflows: delegate
+            idx, dist = nearest_neighbors_cand(
+                src_sorted[0], tgt_packed[0], candidates[0], counts[0],
+                g=g, gsrc=gsrc, slots=slots, interpret=interpret,
+            )
+            return idx[None], dist[None]
+        ia, da = nearest_neighbors_cand_batch(
+            src_sorted[:half], tgt_packed[:half], candidates[:half],
+            counts[:half], g=g, gsrc=gsrc, slots=slots,
+            interpret=interpret,
+        )
+        ib, db = nearest_neighbors_cand_batch(
+            src_sorted[half:], tgt_packed[half:], candidates[half:],
+            counts[half:], g=g, gsrc=gsrc, slots=slots,
+            interpret=interpret,
+        )
+        return (
+            jnp.concatenate([ia, ib], 0), jnp.concatenate([da, db], 0)
+        )
+
+    def t_spec(r):
+        return pl.BlockSpec(
+            (1, g, 4),
+            lambda p, i, j, ct, cr, r=r: (p, cr[p, i, j * s + r], 0),
+        )
+
+    dist, idxf = pl.pallas_call(
+        _make_kernel_batch(s),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, ts, l_slots // s),
+            in_specs=[
+                pl.BlockSpec((1, 3, gsrc), lambda p, i, j, ct, cr: (p, 0, i)),
+                *[t_spec(r) for r in range(s)],
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, gsrc), lambda p, i, j, ct, cr: (p, 0, i)),
+                pl.BlockSpec((1, 1, gsrc), lambda p, i, j, ct, cr: (p, 0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts, candidates, jnp.swapaxes(src_sorted, 1, 2), *([tgt_packed] * s))
+    dist = dist.reshape(b, n)
+    idxf = idxf.reshape(b, n)
+    no_match = dist >= jnp.float32(1e37)
+    dist = jnp.where(no_match, BIG, dist)
+    idx = jnp.where(no_match, 0, idxf.astype(jnp.int32))
+    return idx, dist

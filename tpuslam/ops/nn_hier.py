@@ -46,7 +46,7 @@ No reference counterpart: this is a TPU-first redesign, not a port.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -413,4 +413,202 @@ def nearest_neighbors_hier(
         prev_pos=transformed,
         warm=jnp.asarray(True),
         sparse=used_sparse,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("l_budget", "g", "gsrc", "interpret")
+)
+def nearest_neighbors_hier_batch(
+    transformed: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    target: HierTarget,
+    state: HierState,
+    l_budget: int = DEFAULT_L,
+    g: int = DEFAULT_G,
+    gsrc: int = DEFAULT_GSRC,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, HierState]:
+    """Batched ``nearest_neighbors_hier``: every input gains a leading
+    pair axis (``target``/``state`` leaves included; build them under
+    ``jax.vmap`` of ``prepare_hier_target``/``hier_state_init``).
+
+    One structural difference from vmapping the solo path: the
+    dense-fallback decision is GLOBAL over the batch (``lax.cond`` on
+    ``any(overflow)``), because a per-pair batched cond would execute
+    BOTH arms for the whole batch.  All pairs therefore run dense while
+    ANY pair's candidate set overflows — exact either way, and pairs
+    traverse the large-motion regime together in practice."""
+    from tpuslam.kernels.pallas_bound import bound_pass_pallas_batch
+    from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas_batch
+    from tpuslam.kernels.pallas_nn_cand import nearest_neighbors_cand_batch
+
+    b, n = transformed.shape[0], transformed.shape[1]
+    m = target.packed.shape[1]
+    c = m // g
+    if n < gsrc:  # small pairs: one group is the whole cloud
+        gsrc = n
+    ts = n // gsrc
+    assert n % gsrc == 0
+    width = table_width(m, g, l_budget)
+    l_eff = min(l_budget, c)
+
+    s_rel = transformed - target.center_ref[:, None, :]
+    s2 = jnp.sum(s_rel * s_rel, axis=-1)  # [B, N]
+    s_hi, s_lo = _split_hi_lo(s_rel)
+    neg2_hi = (-2.0 * s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    neg2_lo = (-2.0 * s_lo.astype(jnp.float32)).astype(jnp.bfloat16)
+    ones = jnp.ones_like(s2, jnp.bfloat16)[..., None]
+    saug = jnp.concatenate(
+        [neg2_hi, neg2_hi, neg2_lo, ones, ones, jnp.zeros_like(ones)],
+        axis=2,
+    )
+    smax = jnp.sqrt(jnp.max(s2, axis=1))  # [B]
+    cmax = target.cmax
+    eps = (
+        jnp.float32(_EPS_REL)
+        * (smax * cmax + cmax * cmax + smax * smax)
+        + jnp.float32(1e-6)
+    )
+    delta_prev = jnp.linalg.norm(transformed - state.prev_pos, axis=-1)
+    ub_warm = (
+        jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
+        + delta_prev
+        + jnp.float32(1e-6)
+    )
+    aux = jnp.stack(
+        [
+            s2,
+            ub_warm,
+            (src_mask > 0).astype(jnp.float32),
+            jnp.zeros_like(s2),
+        ],
+        axis=2,
+    )
+    adm_tile = bound_pass_pallas_batch(
+        saug, aux, target.caug, target.radii, eps, state.warm,
+        gsrc=gsrc, interpret=interpret,
+    )  # [B, ts, C]
+    counts = jnp.sum(adm_tile, axis=2).astype(jnp.int32)  # [B, ts]
+    overflow = jnp.any(counts > l_eff)  # global: see docstring
+
+    # rank-count compaction, batched (see the solo path for the idea)
+    cum = jnp.cumsum(
+        adm_tile.astype(jnp.int32), axis=2
+    ).reshape(b * ts, c)
+    slots = jnp.arange(width, dtype=jnp.int32)
+
+    def rank_chunk(cum_chunk):
+        return jnp.sum(
+            (cum_chunk[:, :, None] <= slots[None, None, :]).astype(
+                jnp.int32
+            ),
+            axis=1,
+        )
+
+    rows = b * ts
+    groups_per_chunk = max(1, (64 * 1024 * 1024) // max(c * width, 1))
+    if groups_per_chunk >= rows:
+        cand = rank_chunk(cum)
+    else:
+        n_tc = -(-rows // groups_per_chunk)
+        pad_g = n_tc * groups_per_chunk - rows
+        cand = jax.lax.map(
+            rank_chunk,
+            jnp.pad(cum, ((0, pad_g), (0, 0))).reshape(
+                n_tc, groups_per_chunk, c
+            ),
+        ).reshape(-1, width)[:rows]
+    cand = cand.reshape(b, ts, width)
+    cand = jnp.where(
+        slots[None, None, :]
+        < jnp.minimum(counts, width)[:, :, None],
+        cand, jnp.int32(-1),
+    )
+    cand = jnp.maximum(jax.lax.cummax(cand, axis=2), 0)
+
+    def dense(_):
+        idx, dist = nearest_neighbors_pallas_batch(
+            transformed, target.original_points, target.count,
+            interpret=interpret,
+        )
+        return idx, dist, jnp.asarray(False)
+
+    def rescore(_):
+        idx, dist = nearest_neighbors_cand_batch(
+            transformed, target.packed, cand,
+            jnp.minimum(counts, l_eff),
+            g=g, gsrc=gsrc, interpret=interpret,
+        )
+        return idx, dist, jnp.asarray(True)
+
+    idx, dist, used_sparse = jax.lax.cond(overflow, dense, rescore, None)
+    idx = jnp.where(dist >= jnp.float32(BIG), 0, idx)
+    return idx, dist, HierState(
+        prev_dist=dist,
+        prev_pos=transformed,
+        warm=jnp.ones((b,), bool),
+        sparse=jnp.broadcast_to(used_sparse, (b,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("l_budget", "g", "gsrc", "interpret"))
+def _hier_solo(transformed, src_mask, target, state,
+               l_budget, g, gsrc, interpret):
+    return nearest_neighbors_hier(
+        transformed, src_mask, target, state,
+        l_budget=l_budget, g=g, gsrc=gsrc, interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=None)
+def _hier_custom_vmap(l_budget: int, g: int, gsrc: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def fn(transformed, src_mask, target, state):
+        return nearest_neighbors_hier(
+            transformed, src_mask, target, state,
+            l_budget=l_budget, g=g, gsrc=gsrc, interpret=interpret,
+        )
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, transformed, src_mask, target,
+              state):
+        tb, mb, tgt_b, st_b = in_batched
+
+        def bc(x, isb):
+            return x if isb else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x)
+            )
+
+        transformed = bc(transformed, tb)
+        src_mask = bc(src_mask, mb)
+        target = jax.tree.map(bc, target, tgt_b)
+        state = jax.tree.map(bc, state, st_b)
+        out = nearest_neighbors_hier_batch(
+            transformed, src_mask, target, state,
+            l_budget=l_budget, g=g, gsrc=gsrc, interpret=interpret,
+        )
+        return out, (True, True, HierState(True, True, True, True))
+
+    return fn
+
+
+def nearest_neighbors_hier_auto(
+    transformed: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    target: HierTarget,
+    state: HierState,
+    l_budget: int = DEFAULT_L,
+    g: int = DEFAULT_G,
+    gsrc: int = DEFAULT_GSRC,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, HierState]:
+    """vmap-aware front of the hierarchical NN: a direct call is the
+    solo path; under ``jax.vmap`` (batched multi-pair registration) the
+    custom-vmap rule lowers to ``nearest_neighbors_hier_batch`` — one
+    batch-grid kernel launch per stage — instead of failing to batch
+    the scalar-prefetch pallas_call (the round-2 limitation that pinned
+    the vmapped ICP lowering to the dense kernel)."""
+    return _hier_custom_vmap(l_budget, g, gsrc, interpret)(
+        transformed, src_mask, target, state
     )
