@@ -413,3 +413,23 @@ def test_run_noise_test_set_writes_csv_and_tiers(tmp_path):
         assert g["tier"] in ("recover", "align", "never-worse")
         assert "reference_note" in g and "gt_mse" in g
         assert isinstance(g["ok"], bool)
+
+
+def test_run_noise_test_set_warmup_keeps_tiers_aligned(tmp_path):
+    # --warmup runs each config's compute twice (untimed perturbed pass
+    # first); the tier sidecar must grade only the timed pass — the
+    # stateful entry cursor overran the list otherwise (round-3 fix)
+    import json
+
+    from tpuslam.harness.noise import run_noise_test_set
+
+    run_noise_test_set(
+        [ComputationMethod.Cpd],
+        output_dir=str(tmp_path),
+        size_cap=500,
+        only_ids=[4, 5],
+        warmup=True,
+    )
+    tiers = tmp_path / "noise-tiers-cpd.jsonl"
+    graded = [json.loads(ln) for ln in tiers.read_text().splitlines()]
+    assert [g["id"] for g in graded] == [4, 5]

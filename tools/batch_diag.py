@@ -79,9 +79,17 @@ def main() -> None:
     def run_batch(s):
         # unroll=False: measure the VMAPPED lowering explicitly (the
         # auto crossover would otherwise pick unrolled at 16k and this
-        # line would no longer measure what it labels)
+        # line would no longer measure what it labels); dense NN
         return icp_register_batch(
-            Cloud(s, counts), Cloud(tgt, counts), unroll=False, **kw
+            Cloud(s, counts), Cloud(tgt, counts), unroll=False,
+            use_spatial=False, **kw
+        ).error.sum()
+
+    def run_batch_hier(s):
+        # the r3 vmapped-HIER lowering (custom-vmap batched kernels)
+        return icp_register_batch(
+            Cloud(s, counts), Cloud(tgt, counts), unroll=False,
+            use_spatial=True, **kw
         ).error.sum()
 
     @jax.jit
@@ -107,6 +115,7 @@ def main() -> None:
         return total
 
     dt_v = timeit(lambda i: run_batch(src * (1.0 + 1e-5 * i)), reps=3)
+    dt_vh = timeit(lambda i: run_batch_hier(src * (1.0 + 1e-5 * i)), reps=3)
     dt_l = timeit(lambda i: run_loop(src * (1.0 + 1e-5 * i)), reps=3)
     dt_h = timeit(lambda i: run_loop_hier(src * (1.0 + 1e-5 * i)), reps=3)
     print(f"ICP 20it  vmapped batch    : {dt_v*1000:8.2f} ms")
@@ -114,6 +123,8 @@ def main() -> None:
           f"(vmap/loop = {dt_v/dt_l:.3f})")
     print(f"ICP 20it  one-jit loop hier: {dt_h*1000:8.2f} ms  "
           f"(vmap/hier = {dt_v/dt_h:.3f})")
+    print(f"ICP 20it  vmapped batch HIER:  {dt_vh*1000:8.2f} ms  "
+          f"(vmap-hier/loop-hier = {dt_vh/dt_h:.3f}")
 
 
 if __name__ == "__main__":

@@ -42,23 +42,25 @@ def stack_clouds(clouds: Sequence[np.ndarray], multiple: int = 128) -> Cloud:
     )
 
 
-# Lowering crossover for icp_register_batch, measured on v5e
-# (tools/batch_diag.py, 16 pairs x 20 iters): the vmapped while_loop
-# beats the unrolled-hier loop 1.71x at 2k and 1.09x at 8k (tiny
-# per-pair kernels batch onto one well-shaped 3-D grid); at 16k the
-# unrolled loop wins 1.43x — each kernel saturates the chip, the
-# vmapped loop pays for batched gathers/selects, and ONLY the unrolled
-# lowering can run the hierarchical warm-start NN (the scalar-prefetch
-# candidate kernel is not vmappable, so the vmap arm is pinned to the
-# dense kernel; each unrolled solo body threads its own
-# HierState/prepare_hier_target exactly like a solo run).  The measured
-# break-even is ~9.6k.  Unrolling also restores per-pair early exit (a
+# Lowering crossover for icp_register_batch, re-measured on v5e in
+# round 3 (tools/batch_diag.py, 16 pairs x 20 iters, ms: vmap-dense /
+# loop-dense / loop-hier / vmap-hier = 2k: 20/27/32/28, 4k:
+# 36/42/46/54, 8k: 100/96/85/128, 16k: 354/308/184/302): small pairs
+# vmap the while_loop with the DENSE kernel (tiny per-pair kernels
+# batch onto one well-shaped 3-D grid and the hier path's fixed stages
+# dominate); from ~8k per pair the unrolled loop of solo hier bodies
+# wins (each kernel saturates the chip and the vmapped loop pays for
+# batched gathers/selects).  The vmapped-HIER lowering (r3 custom-vmap
+# kernels) is never the fastest at B<=32 but takes over past the
+# unroll cap: at B>32 with large pairs the vmap arm auto-resolves
+# use_spatial by size exactly like solo (vmap-hier beats vmap-dense
+# 1.17x at 16k).  Unrolling also restores per-pair early exit (a
 # vmapped batch steps until the slowest pair converges) but program
 # size grows with B, so the AUTO selection is capped at _UNROLL_MAX_B;
 # an explicit ``unroll=True`` is honored for any B — expect compile
 # time to grow roughly linearly in B beyond the cap.
 _UNROLL_MAX_B = 32
-_UNROLL_MIN_PAIRWORK = 10240 * 10240  # N*M per pair (measured break-even)
+_UNROLL_MIN_PAIRWORK = 8192 * 8192  # N*M per pair (measured break-even)
 
 
 @partial(

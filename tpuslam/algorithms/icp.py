@@ -76,7 +76,13 @@ def resolve_use_spatial(
     other arms' contracts: an explicit ``use_pallas=False`` is a request
     for the jnp reference NN, and the hier path packs target indices as
     f32 — exact only below 2^24 rows including the 256-row tile padding
-    (above that the dense kernel handles any size)."""
+    (above that the dense kernel handles any size).  Small clouds run
+    the dense kernel: below ~8k target rows the O(N M) scan is already
+    trivial and the hier path's fixed stages (bound kernel + table +
+    rescore launches, ~3 per iteration) cost more than they save —
+    measured crossover on v5e (tools/batch_diag.py, 20-iter solo
+    bodies): dense wins at 2k/4k (1.18x/1.09x), hier wins from 8k
+    (1.13x) through 100k (4.1x) and beyond."""
     if use_spatial is not None:
         return use_spatial
     if backend is None:
@@ -84,6 +90,7 @@ def resolve_use_spatial(
     return (
         backend == "tpu"
         and use_pallas is not False
+        and target_rows >= 8192
         and target_rows + 256 <= 2**24
     )
 

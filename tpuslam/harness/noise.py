@@ -280,7 +280,7 @@ def run_noise_test_set(
             # tier sidecar aligned by appending from the same offset
             with open(csv_path) as fh:
                 start = len([ln for ln in fh if ln.strip()][1:])
-        state = {"i": start}
+        state = {"i": start, "calls": 0}
         fh = open(tier_path, "a" if (resume and start) else "w")
 
         def compute(before, after, config, _entries=entries,
@@ -290,6 +290,11 @@ def run_noise_test_set(
             rot, tr, iters, err = run_with_configuration(
                 before, after, config
             )
+            # with --warmup the runner calls compute TWICE per config
+            # (untimed perturbed pass first); grade only the timed one
+            _state["calls"] += 1
+            if warmup and _state["calls"] % 2 == 1:
+                return rot, tr, iters, err
             e = _entries[_state["i"]]
             _state["i"] += 1
             row = grade(e, config, np.asarray(before), np.asarray(rot),

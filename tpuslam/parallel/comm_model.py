@@ -174,7 +174,7 @@ def predicted_efficiency(
 
 def two_host_efficiency_report(
     n_points: int = 1_310_720,
-    single_chip_iter_seconds: float = 0.579,
+    single_chip_iter_seconds: float = 0.434,
     chips_per_host: int = 4,
 ) -> Dict[str, float]:
     """The BASELINE claim, computed: ICP at the largest benchmark rung,
