@@ -291,3 +291,110 @@ def test_auto_tile_params_scaling():
     assert 655_360 // g2 <= 2560
     # tiny clouds never shrink below the defaults
     assert auto_tile_params(512) == (DEFAULT_G, DEFAULT_GSRC, DEFAULT_L)
+
+
+def test_coarse_middle_arm_exact(rng):
+    """Whatever arm a budget routes to — fine, coarse, or dense — the
+    result must stay bit-identical to the oracle: coarse admission is a
+    superset of fine admission, never a different answer."""
+    n, m = 2048, 8192  # g=128 -> C=64; g2=512 -> C2=16 (>= 8, arm live)
+    src = (rng.random((n, 3)) * 10.0).astype(np.float32)
+    tgt_pts = (rng.random((m, 3)) * 10.0).astype(np.float32)
+    tgt = pad_cloud(tgt_pts, multiple=m)
+    src_sorted, mask_s = _sorted_sources(src)
+    target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count, g=128)
+
+    state = hier_state_init(n)._replace(
+        prev_dist=jnp.full((n,), 1.0, jnp.float32),
+        prev_pos=src_sorted,
+        warm=jnp.asarray(True),
+    )
+    for l_budget in (8, 24, 1000):
+        idx_h, dist_h, st = nearest_neighbors_hier(
+            src_sorted, mask_s, target, state,
+            l_budget=l_budget, g=128, gsrc=1024, interpret=True,
+        )
+        _assert_oracle(idx_h, dist_h, src_sorted, tgt,
+                       msg=f"l_budget={l_budget}")
+
+
+def test_coarse_middle_arm_routing(rng, monkeypatch):
+    """Routing: fine counts over budget but coarse counts under it must
+    take the COARSE arm (g2-tile coverage), tiny fine counts the fine
+    arm, and coarse-overflow the dense kernel.  The bound pass is
+    stubbed with crafted admissibility; each arm covers a DIFFERENT row
+    set by construction, so the returned distances identify which arm
+    executed (lax.cond traces every branch — call counts cannot).
+    Real-bound exactness is covered by test_coarse_middle_arm_exact."""
+    import tpuslam.kernels.pallas_bound as bound_mod
+
+    n, m = 2048, 8192
+    g, gsrc, L = 128, 1024, 8  # C=64, g2=512, C2=16, l_eff2=min(8,10)=8
+    c, ts = m // g, n // gsrc
+    src = (rng.random((n, 3)) * 10.0).astype(np.float32)
+    tgt = pad_cloud((rng.random((m, 3)) * 10.0).astype(np.float32),
+                    multiple=m)
+    src_sorted, mask_s = _sorted_sources(src)
+    target = prepare_hier_target(tgt.points, tgt.mask(), tgt.count, g=g)
+
+    crafted = {}
+
+    def fake_bound(saug, aux, caug, radii, eps, warm, gsrc, interpret):
+        return jnp.asarray(crafted["adm"])
+
+    monkeypatch.setattr(bound_mod, "bound_pass_pallas", fake_bound)
+    nearest_neighbors_hier.clear_cache()
+    state = hier_state_init(n)
+    packed = np.asarray(target.packed)
+    moved = np.asarray(src_sorted)
+
+    def brute_over_rows(rows):
+        pts = packed[rows, :3]
+        idxs = packed[rows, 3]
+        d = ((moved[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        best = d.argmin(axis=1)
+        return idxs[best].astype(np.int32), d[np.arange(n), best]
+
+    def run():
+        idx, dist, st = nearest_neighbors_hier(
+            src_sorted, mask_s, target, state,
+            l_budget=L, g=g, gsrc=gsrc, interpret=True,
+        )
+        return np.asarray(idx), np.asarray(dist), st
+
+    def fine_rows(tiles):
+        return np.concatenate([np.arange(t * g, (t + 1) * g) for t in tiles])
+
+    # window 1: 4 SCATTERED fine tiles -> fine arm; the coarse arm would
+    # cover 4x these rows, so matching the 4-tile brute force pins it
+    adm = np.zeros((ts, c), bool)
+    adm[:, [0, 8, 16, 24]] = True
+    crafted["adm"] = adm
+    idx, dist, st = run()
+    e_idx, e_dist = brute_over_rows(fine_rows([0, 8, 16, 24]))
+    np.testing.assert_array_equal(idx, e_idx)
+    # numpy reduces in a different order than the kernel's FMA form
+    np.testing.assert_allclose(dist, e_dist, rtol=3e-7, atol=0)
+    assert bool(st.sparse)
+
+    # window 2: 20 contiguous fine tiles (5 coarse) -> coarse arm; the
+    # fine arm truncated at 8 tiles would cover 1024 rows, dense all m
+    nearest_neighbors_hier.clear_cache()
+    adm = np.zeros((ts, c), bool)
+    adm[:, :20] = True
+    crafted["adm"] = adm
+    idx, dist, st = run()
+    e_idx, e_dist = brute_over_rows(np.arange(20 * g))
+    np.testing.assert_array_equal(idx, e_idx)
+    np.testing.assert_allclose(dist, e_dist, rtol=3e-7, atol=0)
+    assert bool(st.sparse)
+
+    # window 3: 40 fine tiles = 10 coarse (> l_eff2) -> dense full scan
+    nearest_neighbors_hier.clear_cache()
+    adm = np.zeros((ts, c), bool)
+    adm[:, :40] = True
+    crafted["adm"] = adm
+    idx, dist, st = run()
+    _assert_oracle(idx, dist, src_sorted, tgt, msg="dense window")
+    assert not bool(st.sparse)
+    nearest_neighbors_hier.clear_cache()

@@ -166,6 +166,7 @@ def icp_register(
     if use_spatial:
         from tpuslam.core.types import round_up
         from tpuslam.ops.nn_hier import (
+            _coarse_tile_rows,
             auto_tile_params,
             nearest_neighbors_hier_auto,
             prepare_hier_target,
@@ -183,7 +184,9 @@ def icp_register(
         # build)
         n0, m0 = before.points.shape[0], after.points.shape[0]
         n_pad = round_up(n0, gsrc)
-        m_pad = round_up(m0, g)
+        # round the target to the COARSE tile size too, so the coarse
+        # middle arm (mid-convergence iterations) stays available
+        m_pad = round_up(m0, max(g, _coarse_tile_rows(g, gsrc) or g))
         b_points = jnp.pad(before.points, ((0, n_pad - n0), (0, 0)))
         src_mask = jnp.pad(src_mask, (0, n_pad - n0))
         a_points = jnp.pad(after.points, ((0, m_pad - m0), (0, 0)))

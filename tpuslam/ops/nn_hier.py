@@ -264,6 +264,56 @@ def _center_dc2(
     return dc2, eps
 
 
+def _coarse_tile_rows(g: int, gsrc: int) -> int:
+    """Tile rows of the coarse middle arm (0 = no coarse arm).  The
+    rescore kernel's VMEM per step is ~``8*g2*512 + 3*g2*gsrc*4`` bytes
+    (slot buffers + [g2, gsrc] temporaries), which binds g2 at 512 for
+    gsrc=1024 and 1024 for gsrc=512 within the 16 MB scoped limit."""
+    g2 = 512 if gsrc >= 1024 else 1024
+    return g2 if g2 > g else 0
+
+
+def _build_cand_table(
+    adm: jnp.ndarray, counts: jnp.ndarray, width: int
+) -> jnp.ndarray:
+    """Admissible tile ids per group, ascending, compacted left WITHOUT
+    a sort: slot k's id is the rank count ``sum_j 1[cumsum(adm)_j <= k]``
+    (the position of the (k+1)-th set bit — cumsum increments exactly at
+    admissible tiles).  XLA's TPU sort at [Ts, C] measured ~4.4 ms per
+    100k dispatch (tools/stage_100k.py); the comparison-sum is pure VPU
+    elementwise work, chunked over groups so the [chunk, C, width]
+    intermediate stays ~<=64M elements.  Dead slots (k >= count) then
+    repeat the last live id (cummax) so their kernel DMA dedups with the
+    neighbor and their compute is count-skipped."""
+    ts, c = adm.shape
+    cum = jnp.cumsum(adm.astype(jnp.int32), axis=1)  # [Ts, C]
+    slots = jnp.arange(width, dtype=jnp.int32)
+
+    def rank_chunk(cum_chunk):
+        return jnp.sum(
+            (cum_chunk[:, :, None] <= slots[None, None, :]).astype(
+                jnp.int32
+            ),
+            axis=1,
+        )
+
+    groups_per_chunk = max(1, (64 * 1024 * 1024) // max(c * width, 1))
+    if groups_per_chunk >= ts:
+        cand = rank_chunk(cum)
+    else:
+        n_tc = -(-ts // groups_per_chunk)
+        pad_g = n_tc * groups_per_chunk - ts
+        cand = jax.lax.map(
+            rank_chunk,
+            jnp.pad(cum, ((0, pad_g), (0, 0))).reshape(
+                n_tc, groups_per_chunk, c
+            ),
+        ).reshape(-1, width)[:ts]
+    cand = jnp.where(slots[None, :] < jnp.minimum(counts, width)[:, None],
+                     cand, jnp.int32(-1))
+    return jnp.maximum(jax.lax.cummax(cand, axis=1), 0)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -350,42 +400,6 @@ def nearest_neighbors_hier(
     counts = jnp.sum(adm_tile, axis=1).astype(jnp.int32)
     overflow = jnp.any(counts > l_eff)
 
-    # admissible tile ids per group, ascending, compacted left WITHOUT a
-    # sort: slot k's id is the rank count ``sum_j 1[cumsum(adm)_j <= k]``
-    # (the position of the (k+1)-th set bit — cumsum increments exactly
-    # at admissible tiles).  XLA's TPU sort at [Ts, C] measured ~4.4 ms
-    # per 100k iteration in-loop (tools/stage_100k.py); the comparison-
-    # sum is pure VPU elementwise work, chunked over groups so the
-    # [chunk, C, width] intermediate stays ~<=64M elements.  Dead slots
-    # (k >= count) then repeat the last live id (cummax) so their kernel
-    # DMA dedups with the neighbor and their compute is count-skipped.
-    cum = jnp.cumsum(adm_tile.astype(jnp.int32), axis=1)  # [Ts, C]
-    slots = jnp.arange(width, dtype=jnp.int32)
-
-    def rank_chunk(cum_chunk):
-        return jnp.sum(
-            (cum_chunk[:, :, None] <= slots[None, None, :]).astype(
-                jnp.int32
-            ),
-            axis=1,
-        )
-
-    groups_per_chunk = max(1, (64 * 1024 * 1024) // max(c * width, 1))
-    if groups_per_chunk >= ts:
-        cand = rank_chunk(cum)
-    else:
-        n_tc = -(-ts // groups_per_chunk)
-        pad_g = n_tc * groups_per_chunk - ts
-        cand = jax.lax.map(
-            rank_chunk,
-            jnp.pad(cum, ((0, pad_g), (0, 0))).reshape(
-                n_tc, groups_per_chunk, c
-            ),
-        ).reshape(-1, width)[:ts]
-    cand = jnp.where(slots[None, :] < jnp.minimum(counts, width)[:, None],
-                     cand, jnp.int32(-1))
-    cand = jnp.maximum(jax.lax.cummax(cand, axis=1), 0)
-
     def dense(_):
         idx, dist = nearest_neighbors_pallas(
             transformed, target.original_points, target.count,
@@ -394,6 +408,9 @@ def nearest_neighbors_hier(
         return idx, dist, jnp.asarray(False)
 
     def rescore(_):
+        # the table is built INSIDE the branch: iterations routed to
+        # the dense/coarse arms never pay for it
+        cand = _build_cand_table(adm_tile, counts, width)
         idx, dist = nearest_neighbors_cand(
             transformed, target.packed, cand,
             jnp.minimum(counts, l_eff),
@@ -401,7 +418,43 @@ def nearest_neighbors_hier(
         )
         return idx, dist, jnp.asarray(True)
 
-    idx, dist, used_sparse = jax.lax.cond(overflow, dense, rescore, None)
+    # coarse middle arm (round 3): when the fine-tile candidate set
+    # overflows — the mid-convergence iterations that previously paid
+    # the full dense scan — re-group admission to coarser tiles
+    # (factor g2/g fewer ids for the same spatial volume) so the SAME
+    # slot budget covers it.  Coarse admission is a strict superset of
+    # fine admission, so exactness is untouched; the arm only engages
+    # when it does at most ~5/8 of the dense row work (l_eff2 cap),
+    # otherwise dense is the faster scan.
+    g2 = _coarse_tile_rows(g, gsrc)
+    c2 = m // g2 if g2 else 0
+    if g2 and m % g2 == 0 and c2 >= 8:
+        f = g2 // g
+        adm2 = jnp.any(adm_tile.reshape(ts, c2, f), axis=2)
+        counts2 = jnp.sum(adm2, axis=1).astype(jnp.int32)
+        l_eff2 = min(l_budget, (5 * c2) // 8)
+        width2 = -(-min(l_budget, c2) // 8) * 8
+        overflow2 = jnp.any(counts2 > l_eff2)
+
+        def coarse(_):
+            cand2 = _build_cand_table(adm2, counts2, width2)
+            idx, dist = nearest_neighbors_cand(
+                transformed, target.packed, cand2,
+                jnp.minimum(counts2, l_eff2),
+                g=g2, gsrc=gsrc, interpret=interpret,
+            )
+            return idx, dist, jnp.asarray(True)
+
+        idx, dist, used_sparse = jax.lax.cond(
+            overflow,
+            lambda _: jax.lax.cond(overflow2, dense, coarse, None),
+            rescore,
+            None,
+        )
+    else:
+        idx, dist, used_sparse = jax.lax.cond(
+            overflow, dense, rescore, None
+        )
     # no-match contract: both arms normalize to the jnp oracle's
     # (idx=0, dist=BIG) in their wrappers; re-assert it here so the
     # contract holds even if a future kernel change regresses it —
@@ -492,41 +545,6 @@ def nearest_neighbors_hier_batch(
     counts = jnp.sum(adm_tile, axis=2).astype(jnp.int32)  # [B, ts]
     overflow = jnp.any(counts > l_eff)  # global: see docstring
 
-    # rank-count compaction, batched (see the solo path for the idea)
-    cum = jnp.cumsum(
-        adm_tile.astype(jnp.int32), axis=2
-    ).reshape(b * ts, c)
-    slots = jnp.arange(width, dtype=jnp.int32)
-
-    def rank_chunk(cum_chunk):
-        return jnp.sum(
-            (cum_chunk[:, :, None] <= slots[None, None, :]).astype(
-                jnp.int32
-            ),
-            axis=1,
-        )
-
-    rows = b * ts
-    groups_per_chunk = max(1, (64 * 1024 * 1024) // max(c * width, 1))
-    if groups_per_chunk >= rows:
-        cand = rank_chunk(cum)
-    else:
-        n_tc = -(-rows // groups_per_chunk)
-        pad_g = n_tc * groups_per_chunk - rows
-        cand = jax.lax.map(
-            rank_chunk,
-            jnp.pad(cum, ((0, pad_g), (0, 0))).reshape(
-                n_tc, groups_per_chunk, c
-            ),
-        ).reshape(-1, width)[:rows]
-    cand = cand.reshape(b, ts, width)
-    cand = jnp.where(
-        slots[None, None, :]
-        < jnp.minimum(counts, width)[:, :, None],
-        cand, jnp.int32(-1),
-    )
-    cand = jnp.maximum(jax.lax.cummax(cand, axis=2), 0)
-
     def dense(_):
         idx, dist = nearest_neighbors_pallas_batch(
             transformed, target.original_points, target.count,
@@ -535,6 +553,9 @@ def nearest_neighbors_hier_batch(
         return idx, dist, jnp.asarray(False)
 
     def rescore(_):
+        cand = _build_cand_table(
+            adm_tile.reshape(b * ts, c), counts.reshape(b * ts), width
+        ).reshape(b, ts, width)
         idx, dist = nearest_neighbors_cand_batch(
             transformed, target.packed, cand,
             jnp.minimum(counts, l_eff),
@@ -542,7 +563,39 @@ def nearest_neighbors_hier_batch(
         )
         return idx, dist, jnp.asarray(True)
 
-    idx, dist, used_sparse = jax.lax.cond(overflow, dense, rescore, None)
+    # coarse middle arm, global like the dense cond (see the solo path)
+    g2 = _coarse_tile_rows(g, gsrc)
+    c2 = m // g2 if g2 else 0
+    if g2 and m % g2 == 0 and c2 >= 8:
+        f = g2 // g
+        adm2 = jnp.any(adm_tile.reshape(b, ts, c2, f), axis=3)
+        counts2 = jnp.sum(adm2, axis=2).astype(jnp.int32)
+        l_eff2 = min(l_budget, (5 * c2) // 8)
+        width2 = -(-min(l_budget, c2) // 8) * 8
+        overflow2 = jnp.any(counts2 > l_eff2)
+
+        def coarse(_):
+            cand2 = _build_cand_table(
+                adm2.reshape(b * ts, c2), counts2.reshape(b * ts),
+                width2,
+            ).reshape(b, ts, width2)
+            idx, dist = nearest_neighbors_cand_batch(
+                transformed, target.packed, cand2,
+                jnp.minimum(counts2, l_eff2),
+                g=g2, gsrc=gsrc, interpret=interpret,
+            )
+            return idx, dist, jnp.asarray(True)
+
+        idx, dist, used_sparse = jax.lax.cond(
+            overflow,
+            lambda _: jax.lax.cond(overflow2, dense, coarse, None),
+            rescore,
+            None,
+        )
+    else:
+        idx, dist, used_sparse = jax.lax.cond(
+            overflow, dense, rescore, None
+        )
     idx = jnp.where(dist >= jnp.float32(BIG), 0, idx)
     return idx, dist, HierState(
         prev_dist=dist,
