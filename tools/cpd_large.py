@@ -106,6 +106,39 @@ def main() -> None:
         f"({dt / dt_f:.2f}x vs exact)", flush=True
     )
 
+    # --- candidate (tile-skipping) E-step across the EM trajectory ---
+    # Morton-sorted clouds (as cpd_register feeds it); skip rate grows
+    # as sigma^2 tightens.  Bit-identical to the dense kernel.
+    from tpuslam.kernels.pallas_cpd_cand import cpd_estep_cand
+    from tpuslam.ops.spatial import morton_permutation
+
+    pm = morton_permutation(cm.points, mm)
+    pn = morton_permutation(cn.points, nm)
+    cm_s, mm_s = cm.points[pm], mm[pm]
+    cn_s, nm_s = cn.points[pn], nm[pn]
+    for label, frac, trunc in [
+        ("wide_exact", 1.0, False),          # init: admission full -> dense
+        ("hybrid_switch", 0.015, True),      # the Hybrid switch point
+        ("late_trunc", 0.002, True),         # tight truncation
+        ("late_exact", 0.01, False),         # exact-mode underflow skipping
+    ]:
+        s2_r = s2 * frac
+
+        def estep_cand(i, s2_r=s2_r, trunc=trunc):
+            out = cpd_estep_cand(
+                cm_s * (1.0 + 1e-5 * i), mm_s, cn_s, nm_s,
+                s2_r, const, jnp.asarray(trunc), interpret=interpret,
+            )
+            return out.error
+
+        dt_c = timeit(estep_cand, reps=2)
+        results[f"estep_cand_{label}_s_per_iter"] = round(dt_c, 3)
+        results[f"estep_cand_{label}_speedup_vs_dense"] = round(dt / dt_c, 2)
+        print(
+            f"cand E-step {label} (s2={float(s2_r):.4f}, trunc={trunc}): "
+            f"{dt_c:.3f} s/iter ({dt / dt_c:.2f}x vs dense)", flush=True
+        )
+
     # --- short full registration, Hybrid ladder (reference bench mode) ---
     # chunked dispatch: at 376k one E-step is seconds, and multi-minute
     # single XLA programs kill relayed workers (docs/ROADMAP.md rules)

@@ -183,10 +183,17 @@ def _cpd_estep_pallas_auto(
     per dispatch): at 8k it was 1.12x SLOWER than two-phase (1.24 vs
     1.10 ms) — the apparent small-size gap was ~9 ms of per-dispatch
     relay latency, not kernel time, and the two-phase kernel already
-    runs 108 Gpairs/s at 20k (within 1.16x of its 376k-scale rate)."""
-    from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
+    runs 108 Gpairs/s at 20k (within 1.16x of its 376k-scale rate).
 
-    return cpd_estep_pallas(
+    The solo path routes through the candidate (tile-skipping) wrapper
+    (round 3, ``kernels/pallas_cpd_cand``): block pairs proven to
+    contribute exact f32 zeros — truncated pairs in Hybrid mode,
+    underflowed exponents in exact mode — are never visited, and a
+    global cond falls back to the dense two-phase kernel while the
+    mixture is still wide.  Bit-identical either way."""
+    from tpuslam.kernels.pallas_cpd_cand import cpd_estep_cand
+
+    return cpd_estep_cand(
         transformed, moving_mask, target, target_mask, sigma2, constant,
         trunc_active, interpret=jax.default_backend() != "tpu",
     )
@@ -460,6 +467,20 @@ def cpd_register(
     target = after.points
     mask_b = before.mask()
     mask_a = after.mask()
+    if use_pallas if use_pallas is not None else (
+        jax.default_backend() == "tpu"
+    ):
+        # Morton-sort both clouds once per registration: EM consumes
+        # only sufficient statistics, so the result is row-order
+        # invariant (up to f32 summation order), and sorted rows give
+        # the candidate E-step (kernels/pallas_cpd_cand) spatially
+        # compact blocks whose zero-contribution pairs it can skip
+        from tpuslam.ops.spatial import morton_permutation
+
+        perm_b = morton_permutation(moving, mask_b)
+        moving, mask_b = moving[perm_b], mask_b[perm_b]
+        perm_a = morton_permutation(target, mask_a)
+        target, mask_a = target[perm_a], mask_a[perm_a]
     m = jnp.sum(mask_b)
     n = jnp.sum(mask_a)
 

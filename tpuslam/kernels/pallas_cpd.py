@@ -184,7 +184,38 @@ def cpd_estep_pallas_batch(
         axis=1,
     )  # [B, 4]
 
-    denom = pl.pallas_call(
+    denom = denom_pass_batch(scalars, ty, target, interpret).reshape(b, n)
+
+    pt1 = (1.0 - constant[:, None] / denom) * target_mask
+    inv_denom = target_mask / denom
+    weights4 = jnp.concatenate(
+        [inv_denom[:, :, None], target * inv_denom[:, :, None]], axis=2
+    )  # [B, N, 4]
+
+    acc = moments_pass_batch(scalars, ty, target, weights4, interpret)
+
+    p1 = acc[:, 0, :] * moving_mask
+    px = jnp.swapaxes(acc[:, 1:4, :], 1, 2) * moving_mask[:, :, None]
+    n_valid = jnp.sum(target_mask, axis=1)
+    err = (
+        -jnp.sum(jnp.log(denom) * target_mask, axis=1)
+        + 3.0 * n_valid * jnp.log(sigma2) / 2.0
+    )
+    return Sufficient(
+        p1=p1[:, :m0], pt1=pt1[:, :n0], px=px[:, :m0], error=err
+    )
+
+
+def denom_pass_batch(scalars, ty, target, interpret):
+    """Raw phase-1 pass: ``denom`` f32[B, 1, N] for every target row
+    over ALL moving rows (init = the uniform constant).  Exposed so the
+    candidate E-step (``pallas_cpd_cand``) can run it on a gathered
+    fat-block subset with bit-identical accumulation order.  Shapes must
+    be _TILE multiples."""
+    b, m = ty.shape[0], ty.shape[1]
+    n = target.shape[1]
+    bm = bn = _TILE
+    return pl.pallas_call(
         _denom_kernel_batch,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -204,15 +235,17 @@ def cpd_estep_pallas_batch(
             transcendentals=b * n * m,
         ),
         interpret=interpret,
-    )(scalars, ty, jnp.swapaxes(target, 1, 2)).reshape(b, n)
+    )(scalars, ty, jnp.swapaxes(target, 1, 2))
 
-    pt1 = (1.0 - constant[:, None] / denom) * target_mask
-    inv_denom = target_mask / denom
-    weights4 = jnp.concatenate(
-        [inv_denom[:, :, None], target * inv_denom[:, :, None]], axis=2
-    )  # [B, N, 4]
 
-    acc = pl.pallas_call(
+def moments_pass_batch(scalars, ty, target, weights4, interpret):
+    """Raw phase-2 pass: ``acc`` f32[B, 4, M] moment accumulators for
+    every moving row over ALL target rows.  Exposed for the candidate
+    E-step's fat-block subset (see ``denom_pass_batch``)."""
+    b, m = ty.shape[0], ty.shape[1]
+    n = target.shape[1]
+    bm = bn = _TILE
+    return pl.pallas_call(
         _moments_kernel_batch,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -234,14 +267,3 @@ def cpd_estep_pallas_batch(
         ),
         interpret=interpret,
     )(scalars, target, jnp.swapaxes(ty, 1, 2), weights4)
-
-    p1 = acc[:, 0, :] * moving_mask
-    px = jnp.swapaxes(acc[:, 1:4, :], 1, 2) * moving_mask[:, :, None]
-    n_valid = jnp.sum(target_mask, axis=1)
-    err = (
-        -jnp.sum(jnp.log(denom) * target_mask, axis=1)
-        + 3.0 * n_valid * jnp.log(sigma2) / 2.0
-    )
-    return Sufficient(
-        p1=p1[:, :m0], pt1=pt1[:, :n0], px=px[:, :m0], error=err
-    )

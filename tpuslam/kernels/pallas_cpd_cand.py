@@ -1,0 +1,346 @@
+"""Pallas TPU kernels: candidate-driven (tile-skipping) CPD E-step.
+
+The dense two-phase E-step (``pallas_cpd``) evaluates every
+(target, moving) pair.  But most pairs contribute EXACTLY zero once the
+mixture tightens: with truncation active (the reference's Hybrid mode,
+``coherentpointdrift.cpp:191-196``) the kernel zeroes ``exp(expo)`` for
+``expo < log(truncate)`` by construction, and even in exact mode any
+``expo < ~-120`` underflows to f32 +0.0 on every backend.  Summands
+that are exactly +0.0 can be skipped without changing ANY partial sum
+bitwise — so whole (target-tile, moving-tile) block pairs whose
+rigorous minimum distance puts every pair past the cutoff are simply
+never visited, and the result stays bit-identical to the dense kernel
+on the same inputs.
+
+Mechanics mirror the hierarchical NN (``ops/nn_hier``): both clouds
+enter Morton-sorted (the CPD driver sorts once per registration — an
+UNSORTED cloud is still correct, its fat tile bounds just admit
+everything and the wrapper falls back to the dense kernel), per-block
+bounding spheres give a conservative block-pair admission matrix, the
+rank-count compaction builds per-block candidate tables, and
+scalar-prefetch candidate kernels accumulate over admitted blocks only
+(count-gated slots, ascending block order = the dense kernel's
+accumulation order over the nonzero terms).
+
+The skip rate is dynamic — d_cut^2 = -expo_cut * 2 sigma^2 shrinks as
+EM converges — so admission is recomputed every iteration (a [Tn, Tm] jnp
+matrix, trivial) and a global lax.cond routes to the dense kernel when
+the candidate sets overflow the static budget (early iterations).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuslam.algorithms.cpd import Sufficient
+from tpuslam.core.types import round_up
+from tpuslam.kernels.pallas_cpd import (
+    SENTINEL,
+    _TILE,
+    _gauss,
+    cpd_estep_pallas,
+    denom_pass_batch,
+    moments_pass_batch,
+)
+from tpuslam.ops.nn_hier import _build_cand_table
+from tpuslam.ops.spatial import tile_bounds
+
+SLOTS = 8
+# exact-mode cutoff: exp(expo) underflows to f32 +0.0 for expo below
+# ~-103.98 (min denormal); -120 leaves margin for any exp
+# implementation's last-ulp behavior on any backend
+_EXACT_CUTOFF = -120.0
+# candidate budget as a fraction of the block count: above ~5/8 of the
+# blocks admitted, the dense scan is at least as fast
+_BUDGET_NUM, _BUDGET_DEN = 5, 8
+# scalar-prefetch tables live in SMEM (1 MB/core)
+_TABLE_SMEM_BYTES = 512 * 1024
+# budget of over-admitting ("fat") blocks served by the dense subset
+# passes; more than this (never seen in practice — the octant-crossing
+# Morton runs number ~3 at 376k) falls back to the full dense kernel
+_FAT_MAX = 8
+
+
+def _denom_cand_kernel(counts_ref, cand_ref, sc_ref, xT_ref, *refs):
+    del cand_ref
+    t_refs = refs[:SLOTS]
+    denom_ref = refs[SLOTS]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        denom_ref[:] = jnp.full_like(denom_ref, sc_ref[0, 1])
+
+    live = counts_ref[i] - j * SLOTS
+    xT = xT_ref[:]  # [3, BN] — targets on lanes
+    for r in range(SLOTS):
+        @pl.when(r < live)
+        def _(r=r):
+            g = _gauss(
+                t_refs[r][:], xT, sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3]
+            )
+            denom_ref[0] += jnp.sum(g, axis=0)
+
+
+def _moments_cand_kernel(counts_ref, cand_ref, sc_ref, tyT_ref, *refs):
+    del cand_ref
+    t_refs = refs[:SLOTS]
+    acc_ref = refs[SLOTS]
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    live = counts_ref[j] - i * SLOTS
+    tyT = tyT_ref[:]  # [3, BM] — moving points on lanes
+    for r in range(SLOTS):
+        @pl.when(r < live)
+        def _(r=r):
+            xw = t_refs[r][:]  # [BN, 8] — (x, y, z, 0, w0..w3) sublanes
+            g = _gauss(
+                xw[:, 0:3], tyT, sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3]
+            )
+            for c in range(4):
+                acc_ref[c] += jnp.sum(g * xw[:, 4 + c:5 + c], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("truncate", "interpret"))
+def cpd_estep_cand(
+    transformed: jnp.ndarray,
+    moving_mask: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    constant: jnp.ndarray,
+    trunc_active: jnp.ndarray,
+    truncate: float = 1e-3,
+    interpret: bool = False,
+) -> Sufficient:
+    """Drop-in replacement for ``cpd_estep_pallas`` (same contract, same
+    bits) that skips block pairs proven to contribute exact zeros.  Most
+    effective when both clouds are Morton-sorted (see module docstring);
+    correct for any row order."""
+    m0, n0 = transformed.shape[0], target.shape[0]
+    m = round_up(m0, _TILE)
+    n = round_up(n0, _TILE)
+    tn, tm = n // _TILE, m // _TILE
+    width_m = -(-min(tm, max(_BUDGET_NUM * tm // _BUDGET_DEN, 1)) // SLOTS
+                ) * SLOTS
+    width_n = -(-min(tn, max(_BUDGET_NUM * tn // _BUDGET_DEN, 1)) // SLOTS
+                ) * SLOTS
+    table_bytes = max(tn * width_m, tm * width_n) * 4
+    if tn < 2 or tm < 2 or table_bytes > _TABLE_SMEM_BYTES:
+        # too small to skip anything / table would overflow SMEM
+        return cpd_estep_pallas(
+            transformed, moving_mask, target, target_mask, sigma2,
+            constant, trunc_active, truncate=truncate,
+            interpret=interpret,
+        )
+
+    if m != m0:
+        transformed = jnp.pad(transformed, ((0, m - m0), (0, 0)))
+        moving_mask = jnp.pad(moving_mask, (0, m - m0))
+    if n != n0:
+        target = jnp.pad(target, ((0, n - n0), (0, 0)))
+        target_mask = jnp.pad(target_mask, (0, n - n0))
+
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    constant = jnp.asarray(constant, jnp.float32)
+
+    # rigorous block-pair admission: skip (i, j) only when the MINIMUM
+    # possible pair distance already puts the exponent past the cutoff.
+    # Bounds are computed at 128-row SUB-tile granularity and min-pooled
+    # to kernel blocks: a Morton run crossing a high-bit octant boundary
+    # gives its 1024-row block a bounding sphere spanning half the cloud
+    # (radius 0.32 on a 0.5-extent cloud, measured), which would admit
+    # everything; at 128 rows only the one crossing sub-tile stays fat.
+    sub = _TILE // 8 if (tn * 8) * (tm * 8) <= 64 * 1024 * 1024 else _TILE
+    f_sub = _TILE // sub
+    tb_n = tile_bounds(target, target_mask, sub)
+    tb_m = tile_bounds(transformed, moving_mask, sub)
+    diff = tb_n.centers[:, None, :] - tb_m.centers[None, :, :]
+    cdist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    lb = jnp.maximum(
+        cdist - tb_n.radii[:, None] - tb_m.radii[None, :], 0.0
+    ) * jnp.float32(1.0 - 1e-5)
+    lb = jnp.min(
+        lb.reshape(tn, f_sub, tm, f_sub), axis=(1, 3)
+    )  # [Tn, Tm]
+    expo_cut = jnp.where(
+        trunc_active,
+        jnp.float32(math.log(truncate)),
+        jnp.float32(_EXACT_CUTOFF),
+    )
+    d2_cut = (-expo_cut) * 2.0 * sigma2 * jnp.float32(1.0 + 1e-5)
+    adm = (lb * lb) <= d2_cut  # [Tn, Tm]
+
+    counts_n = jnp.sum(adm, axis=1).astype(jnp.int32)  # per target block
+    counts_m = jnp.sum(adm, axis=0).astype(jnp.int32)  # per moving block
+    # blocks whose candidate set overflows the table run through a
+    # gathered DENSE subset pass instead (a handful of octant-crossing
+    # blocks in practice); only more than _FAT_MAX of them forces the
+    # full-dense fallback
+    fat_n = counts_n > width_m
+    fat_m = counts_m > width_n
+    overflow = jnp.logical_or(
+        jnp.sum(fat_n) > _FAT_MAX, jnp.sum(fat_m) > _FAT_MAX
+    )
+
+    ty = jnp.where(moving_mask[:, None] > 0, transformed, SENTINEL)
+    scalars = jnp.stack(
+        [
+            -0.5 / sigma2,
+            constant,
+            trunc_active.astype(jnp.float32),
+            jnp.full((), math.log(truncate), jnp.float32),
+        ]
+    ).reshape(1, 4)
+
+    def dense(_):
+        return cpd_estep_pallas(
+            transformed[:m0], moving_mask[:m0], target[:n0],
+            target_mask[:n0], sigma2, constant, trunc_active,
+            truncate=truncate, interpret=interpret,
+        )
+
+    def cand(_):
+        counts_n_s = jnp.where(fat_n, 0, counts_n)
+        counts_m_s = jnp.where(fat_m, 0, counts_m)
+        cand_m = _build_cand_table(adm, counts_n_s, width_m)  # [Tn, widthM]
+        denom = pl.pallas_call(
+            _denom_cand_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(tn, width_m // SLOTS),
+                in_specs=[
+                    pl.BlockSpec((1, 4), lambda i, j, ct, cr: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((3, _TILE), lambda i, j, ct, cr: (0, i)),
+                    *[
+                        pl.BlockSpec(
+                            (_TILE, 3),
+                            lambda i, j, ct, cr, r=r: (
+                                cr[i, j * SLOTS + r], 0
+                            ),
+                        )
+                        for r in range(SLOTS)
+                    ],
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, _TILE), lambda i, j, ct, cr: (0, i)
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+            interpret=interpret,
+        )(
+            counts_n_s, cand_m, scalars, jnp.swapaxes(target, 0, 1),
+            *([ty] * SLOTS),
+        ).reshape(n)
+
+        # fat target blocks: their denominators come from the dense
+        # phase-1 pass on a gathered subset — same moving-block
+        # accumulation order, so bit-identical to the full dense kernel
+        def add_fat_n(d):
+            ids = jnp.nonzero(fat_n, size=_FAT_MAX, fill_value=tn)[0]
+            rows = (
+                ids[:, None] * _TILE
+                + jnp.arange(_TILE, dtype=ids.dtype)[None, :]
+            ).reshape(-1)
+            sub_tgt = target.at[rows].get(
+                mode="fill", fill_value=0.0
+            )
+            d_sub = denom_pass_batch(
+                scalars, ty[None], sub_tgt[None], interpret
+            ).reshape(-1)
+            return d.at[rows].set(d_sub, mode="drop")
+
+        denom = jax.lax.cond(
+            jnp.any(fat_n), add_fat_n, lambda d: d, denom
+        )
+
+        pt1 = (1.0 - constant / denom) * target_mask
+        inv_denom = target_mask / denom
+        xw = jnp.concatenate(
+            [
+                target,
+                jnp.zeros((n, 1), jnp.float32),
+                inv_denom[:, None],
+                target * inv_denom[:, None],
+            ],
+            axis=1,
+        )  # [N, 8]
+
+        cand_n = _build_cand_table(adm.T, counts_m, width_n)  # [Tm, widthN]
+        acc = pl.pallas_call(
+            _moments_cand_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(tm, width_n // SLOTS),
+                in_specs=[
+                    pl.BlockSpec((1, 4), lambda j, i, ct, cr: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((3, _TILE), lambda j, i, ct, cr: (0, j)),
+                    *[
+                        pl.BlockSpec(
+                            (_TILE, 8),
+                            lambda j, i, ct, cr, r=r: (
+                                cr[j, i * SLOTS + r], 0
+                            ),
+                        )
+                        for r in range(SLOTS)
+                    ],
+                ],
+                out_specs=pl.BlockSpec(
+                    (4, _TILE), lambda j, i, ct, cr: (0, j)
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((4, m), jnp.float32),
+            interpret=interpret,
+        )(
+            counts_m_s, cand_n, scalars, jnp.swapaxes(ty, 0, 1),
+            *([xw] * SLOTS),
+        )
+
+        # fat moving blocks: dense phase-2 on a gathered subset (same
+        # target-block accumulation order -> bit-identical)
+        def add_fat_m(a):
+            ids = jnp.nonzero(fat_m, size=_FAT_MAX, fill_value=tm)[0]
+            rows = (
+                ids[:, None] * _TILE
+                + jnp.arange(_TILE, dtype=ids.dtype)[None, :]
+            ).reshape(-1)
+            sub_ty = ty.at[rows].get(
+                mode="fill", fill_value=SENTINEL
+            )
+            weights4 = xw[:, 4:8]
+            a_sub = moments_pass_batch(
+                scalars, sub_ty[None], target[None], weights4[None],
+                interpret,
+            )[0]  # [4, _FAT_MAX * _TILE]
+            return a.at[:, rows].set(a_sub, mode="drop")
+
+        acc = jax.lax.cond(
+            jnp.any(fat_m), add_fat_m, lambda a: a, acc
+        )
+
+        p1 = acc[0, :] * moving_mask
+        px = jnp.swapaxes(acc[1:4, :], 0, 1) * moving_mask[:, None]
+        n_valid = jnp.sum(target_mask)
+        err = (
+            -jnp.sum(jnp.log(denom) * target_mask)
+            + 3.0 * n_valid * jnp.log(sigma2) / 2.0
+        )
+        return Sufficient(
+            p1=p1[:m0], pt1=pt1[:n0], px=px[:m0], error=err
+        )
+
+    return jax.lax.cond(overflow, dense, cand, None)
