@@ -1,0 +1,86 @@
+"""Sequential scan registration (odometry): pairwise alignment +
+absolute pose composition (tpuslam.algorithms.sequence)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_rigid
+from tpuslam.algorithms.sequence import register_sequence
+
+
+def _make_trajectory(rng, n_scans=5, n_pts=1500, step_angle=0.08,
+                     step_trans=0.4):
+    """Static scene scanned from a drifting pose; returns (scans,
+    true sensor poses P_k with P_0 = I)."""
+    scene = (rng.random((n_pts, 3)) * 10.0).astype(np.float32)
+    poses = [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))]
+    for _ in range(n_scans - 1):
+        dr, dt = random_rigid(rng, angle=step_angle, trans=step_trans)
+        r_prev, t_prev = poses[-1]
+        poses.append(
+            ((r_prev @ dr).astype(np.float32),
+             (r_prev @ dt + t_prev).astype(np.float32))
+        )
+    scans = []
+    for r, t in poses:
+        # scan = scene in the sensor frame: P_k^-1(scene)
+        local = (scene - t) @ r  # r^-1 = r.T applied on the right
+        scans.append(local[rng.permutation(n_pts)].astype(np.float32))
+    return scans, poses
+
+
+def _pose_error(est_r, est_t, true_r, true_t):
+    dev = np.degrees(np.arccos(np.clip(
+        (np.trace(est_r @ true_r.T) - 1) / 2, -1, 1)))
+    return dev, float(np.linalg.norm(est_t - true_t))
+
+
+@pytest.mark.parametrize("batch", [False, True])
+def test_register_sequence_recovers_trajectory(rng, batch):
+    scans, poses = _make_trajectory(rng)
+    out = register_sequence(
+        scans, max_iterations=60, batch=batch,
+        max_distance_squared=1e6,
+    )
+    assert len(out.relative) == len(scans) - 1
+    assert len(out.absolute) == len(scans)
+    for k, (true_r, true_t) in enumerate(poses):
+        dev, terr = _pose_error(
+            out.absolute[k].rotation, out.absolute[k].translation,
+            true_r, true_t,
+        )
+        assert dev < 1.0 and terr < 0.15, (k, dev, terr, batch)
+
+
+def test_register_sequence_seed_reduces_iterations(rng):
+    """The constant-velocity seed should not cost iterations; on a
+    smooth trajectory (repeated similar steps) later pairs start near
+    the solution and converge at least as fast as unseeded runs."""
+    scans, _ = _make_trajectory(rng, n_scans=5)
+    seeded = register_sequence(scans, max_iterations=60,
+                               max_distance_squared=1e6)
+    cold = register_sequence(scans, max_iterations=60,
+                             seed_with_previous=False,
+                             max_distance_squared=1e6)
+    # pair 0 has no seed either way; compare the rest in aggregate
+    assert seeded.iterations[1:].sum() <= cold.iterations[1:].sum()
+    for k in range(len(scans) - 1):
+        assert seeded.errors[k] < 5e-3
+
+
+def test_register_sequence_mixed_sizes(rng):
+    """Different per-scan sizes pad to one common shape."""
+    scans, poses = _make_trajectory(rng, n_scans=3, n_pts=1100)
+    scans[1] = scans[1][:700]
+    out = register_sequence(scans, max_iterations=60,
+                            max_distance_squared=1e6)
+    dev, terr = _pose_error(
+        out.absolute[-1].rotation, out.absolute[-1].translation,
+        poses[-1][0], poses[-1][1],
+    )
+    assert dev < 1.5 and terr < 0.2
+
+
+def test_register_sequence_needs_two(rng):
+    with pytest.raises(ValueError):
+        register_sequence([np.zeros((10, 3), np.float32)])

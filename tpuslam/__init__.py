@@ -44,6 +44,15 @@ def register(before, after, config=None, **overrides):
     return run_with_configuration(before, after, config)
 
 
+def register_sequence(clouds, **kwargs):
+    """Sequential scan odometry: register consecutive clouds pairwise
+    and compose absolute poses (``tpuslam.algorithms.sequence``) —
+    beyond-reference scope; see that module's docstring."""
+    from tpuslam.algorithms.sequence import register_sequence as _rs
+
+    return _rs(clouds, **kwargs)
+
+
 def register_pairs(befores, afters, config=None, **overrides):
     """Batched multi-pair registration: sequences of host ``f32[N_i,3]``
     arrays in, per-pair (rotations f32[B,3,3], translations f32[B,3],
