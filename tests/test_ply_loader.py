@@ -131,6 +131,21 @@ def test_ply_malformed_yields_empty(tmp_path):
         assert load_cloud(str(p)).shape == (0, 3), name
 
 
+def test_ply_ascii_list_in_vertex_yields_empty(tmp_path):
+    # a list property INSIDE the vertex element shifts token columns
+    # per-row in ascii: refuse (empty) rather than misparse coordinates
+    p = tmp_path / "listvert.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 1\n"
+        "property list uchar int neighbors\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+        "2 7 9 1.0 2.0 3.0\n"
+    )
+    assert load_cloud(str(p)).shape == (0, 3)
+
+
 def test_ply_binary_list_before_vertex_yields_empty(tmp_path):
     # a variable-length list element BEFORE vertex cannot be skipped by
     # fixed strides in binary: refuse (empty) rather than misparse

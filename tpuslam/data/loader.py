@@ -166,6 +166,15 @@ def _load_ply(path: str) -> np.ndarray:
             return np.zeros((0, 3), dtype=np.float32)
 
         if fmt == "ascii":
+            # A list property inside the vertex element shifts token
+            # columns per-row (the list length is data-dependent), so
+            # positional indexing would misparse coordinates — reject,
+            # mirroring the binary path's guard below.  Ascii rows are
+            # read line-by-line; the PLY spec technically allows tokens
+            # reflowed across lines, which this (like most readers)
+            # treats as malformed (empty cloud), not misparsed.
+            if any(p[0] != "scalar" for p in vertex["props"]):
+                return np.zeros((0, 3), dtype=np.float32)
             # elements appear in declaration order; list-carrying
             # elements before vertex are consumed row by row
             for e in elements:

@@ -310,15 +310,17 @@ def run_noise_test_set(
             )
             return rot, tr, iters, err
 
-        files = run_test_set(
-            lambda m, _entries=entries: [
-                build_configuration(e, size_cap=size_cap)
-                for e in _entries
-            ],
-            "noise", [method], compute_function=compute,
-            output_dir=output_dir, warmup=warmup, resume=resume,
-        )
-        fh.close()
+        try:
+            files = run_test_set(
+                lambda m, _entries=entries: [
+                    build_configuration(e, size_cap=size_cap)
+                    for e in _entries
+                ],
+                "noise", [method], compute_function=compute,
+                output_dir=output_dir, warmup=warmup, resume=resume,
+            )
+        finally:
+            fh.close()
         written.extend(files)
         written.append(tier_path)
     return written

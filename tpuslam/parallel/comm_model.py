@@ -179,10 +179,12 @@ def two_host_efficiency_report(
 ) -> Dict[str, float]:
     """The BASELINE claim, computed: ICP at the largest benchmark rung,
     1 host (4 chips) vs 2 hosts (8 chips) — both inside one v5e ICI
-    domain.  ``single_chip_iter_seconds`` defaults to the measured 1M+
-    ladder median per-iteration time (bench_report.json, round 3;
-    conservative: smaller compute per chip LOWERS predicted efficiency,
-    and 0.25 s still predicts 0.99)."""
+    domain.  ``single_chip_iter_seconds`` defaults to 0.25 s — a
+    DELIBERATE understatement of the measured single-chip time at the
+    1.3M rung this report models (0.2814 s/iter, bench_report.json
+    round 3; the 1M+ ladder median is 0.2348).  Smaller compute per
+    chip LOWERS predicted efficiency, so 0.25 is the conservative
+    floor, and it still predicts 0.99."""
     model = icp_comm_bytes(n_points)
     d1, d2 = chips_per_host, 2 * chips_per_host
     e1 = predicted_efficiency(
