@@ -175,6 +175,48 @@ def test_cpd_use_fgt_extension_key(tmp_path):
     assert np.all(np.isfinite(rot)) and iters > 0
 
 
+def test_cpd_use_fgt_tristate(tmp_path):
+    """cpd-use-fgt is tri-state: absent -> None (auto, the measured
+    size crossover), true/false -> forced arm; the echo prints auto."""
+    import json
+
+    from tpuslam.config.parser import ConfigParser
+
+    base = {
+        "method": "cpd",
+        "before-path": "data/bunny.obj",
+        "after-path": "data/bunny.obj",
+    }
+    for extra, want in (
+        ({}, None),
+        ({"cpd-use-fgt": False}, False),
+        ({"cpd-use-fgt": True}, True),
+    ):
+        p = tmp_path / f"tri{len(extra)}{want}.json"
+        p.write_text(json.dumps({**base, **extra}))
+        config = ConfigParser([str(p)]).get_configuration()
+        assert config.cpd_use_fgt is want
+        echoed = config.print()
+        label = "auto" if want is None else str(want).lower()
+        assert f"cpd-use-fgt: {label}" in echoed
+
+
+def test_resolve_use_fgt_crossover():
+    """Auto dispatch: exact below the measured crossover, FGT at/above
+    it, never for exact (NONE) mode, explicit overrides win."""
+    from tpuslam.algorithms.cpd import CPD_FGT_CROSSOVER, resolve_use_fgt
+    from tpuslam.config.configuration import ApproximationType
+
+    big = CPD_FGT_CROSSOVER
+    small = CPD_FGT_CROSSOVER - 1
+    assert resolve_use_fgt(None, ApproximationType.Hybrid, big, big)
+    assert resolve_use_fgt(None, ApproximationType.Full, small, big)
+    assert not resolve_use_fgt(None, ApproximationType.Hybrid, small, small)
+    assert not resolve_use_fgt(None, ApproximationType.NONE, big, big)
+    assert not resolve_use_fgt(False, ApproximationType.Hybrid, big, big)
+    assert resolve_use_fgt(True, ApproximationType.Hybrid, small, small)
+
+
 def test_cpd_centroid_init_extension_key(tmp_path):
     """Extension key: cpd-centroid-init flows parser -> Configuration;
     defaults false (reference parity: EM always starts from identity)."""

@@ -77,9 +77,9 @@ def test_internal_padding_multi_tile(rng):
 def test_cpd_estep_cand_bitexact_vs_dense(rng):
     """The candidate (tile-skipping) E-step must match the dense
     two-phase kernel BITWISE in every regime: skipped block pairs
-    contribute exact f32 zeros (truncated pairs in Hybrid mode,
-    underflowed exponents in exact mode), and adding +0.0 in the same
-    block order preserves every partial sum."""
+    (truncation active) contribute exact f32 zeros, adding +0.0 in the
+    same block order preserves every partial sum, and without
+    truncation the wrapper routes to the dense kernel outright."""
     import jax.numpy as jnp
 
     from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
@@ -103,7 +103,7 @@ def test_cpd_estep_cand_bitexact_vs_dense(rng):
         (4.0, False),    # wide mixture: admission ~full -> dense arm
         (0.05, True),    # Hybrid truncation window
         (0.002, True),   # tight truncation: heavy skipping
-        (0.002, False),  # exact mode: underflow-only skipping
+        (0.002, False),  # exact mode: full admission -> dense arm
     ]:
         a = cpd_estep_pallas(
             jnp.asarray(mov), jnp.asarray(mm), jnp.asarray(tgt),
@@ -124,8 +124,8 @@ def test_cpd_estep_cand_bitexact_vs_dense(rng):
 
 def test_cpd_estep_cand_separated_clusters(rng):
     """Forced-skip geometry: two clusters 100 units apart with a tight
-    sigma^2 — cross-cluster blocks are all skipped, results still match
-    the dense kernel bitwise and the unpadded jnp oracle's contract."""
+    sigma^2 and truncation active — cross-cluster blocks are all
+    skipped, results still match the dense kernel bitwise."""
     import jax.numpy as jnp
 
     from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
@@ -148,7 +148,7 @@ def test_cpd_estep_cand_separated_clusters(rng):
     args = (
         jnp.asarray(mov), jnp.asarray(mm), jnp.asarray(tgt),
         jnp.asarray(tm), jnp.float32(0.01), jnp.float32(0.3),
-        jnp.asarray(False),
+        jnp.asarray(True),
     )
     dense = cpd_estep_pallas(*args, interpret=True)
     cand = cpd_estep_cand(*args, interpret=True)

@@ -117,10 +117,10 @@ def main() -> None:
     cm_s, mm_s = cm.points[pm], mm[pm]
     cn_s, nm_s = cn.points[pn], nm[pn]
     for label, frac, trunc in [
-        ("wide_exact", 1.0, False),          # init: admission full -> dense
+        ("wide_exact", 1.0, False),          # no trunc: full admission ->
+        #   dense fallback (documents the wrapper's fallback is free)
         ("hybrid_switch", 0.015, True),      # the Hybrid switch point
         ("late_trunc", 0.002, True),         # tight truncation
-        ("late_exact", 0.01, False),         # exact-mode underflow skipping
     ]:
         s2_r = s2 * frac
 

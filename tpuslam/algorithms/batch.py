@@ -163,7 +163,7 @@ def cpd_register_batch(
     max_iterations: int = -1,
     tolerance: float = 1e-3,
     approximation_type: ApproximationType = ApproximationType.NONE,
-    use_fgt: bool = False,
+    use_fgt: bool | None = None,
     fgt_k: int = 128,
     order_of_truncation: int = 8,
     ratio_of_far_field: float = 10.0,

@@ -41,13 +41,15 @@ Semantics matched to the reference (parser truth):
   exact; ``Full`` = sigma^2 floored at 0.05, fast path; ``Hybrid`` = fast
   path while ``sigma^2 > 0.015 sigma0^2`` else exact with truncation 1e-3
   (responsibilities with log-exponent below log(1e-3) dropped,
-  ``coherentpointdrift.cpp:191-196``).  The reference's "fast path" is a
-  CPU Fast Gauss Transform (``fgt.cpp``) — a clustering+Taylor
-  approximation that is TPU-hostile (irregular gather/scatter); on TPU the
-  exact blocked E-step IS the fast path (MXU tiles), so fast-path
-  iterations run the exact kernel with FGT-mode *constant* semantics.  An
-  optional pure-JAX FGT lives in ``tpuslam.ops.fgt`` for numerical parity
-  experiments.
+  ``coherentpointdrift.cpp:191-196``).  The reference's fast path IS the
+  Fast Gauss Transform (``fgt.cpp``); here the fast-phase E-step is
+  picked by a *measured size crossover* (``CPD_FGT_CROSSOVER``,
+  ``tools/cpd_crossover.py``): the exact blocked kernel with FGT-mode
+  *constant* semantics below it (O(N*M) on the MXU beats the
+  approximation's fixed clustering/expansion cost at small sizes), the
+  device FGT (``tpuslam.ops.fgt``) at or above it, where the quadratic
+  kernel loses to the ~linear FGT (3.85x at 376k on the chip,
+  ``bench_results/cpd_large.json``).
 """
 
 from __future__ import annotations
@@ -64,6 +66,33 @@ from tpuslam.config.configuration import ApproximationType
 from tpuslam.core.types import Cloud, RigidTransform, pick_block
 
 _TWO_PI = 2.0 * math.pi
+
+# Measured exact-vs-FGT fast-phase crossover on the v5e chip
+# (tools/cpd_crossover.py -> bench_results/cpd_crossover.json): the
+# exact blocked E-step is O(N*M) while the device FGT is ~O((N+M)*K*P),
+# so above this size the Full/Hybrid wide-sigma^2 iterations run the
+# FGT — exactly the reference's ladder (coherentpointdrift.cpp:141-166,
+# cpdutils.cpp:19-73 run FGT for ALL fast-phase E-steps) — and below it
+# the exact MXU tiles are cheaper than the approximation.
+CPD_FGT_CROSSOVER = 82_500
+
+
+def resolve_use_fgt(
+    use_fgt: Optional[bool],
+    approximation_type: "ApproximationType",
+    m_pad: int,
+    n_pad: int,
+) -> bool:
+    """Tri-state ``use_fgt`` dispatch: ``True``/``False`` are explicit
+    overrides; ``None`` (auto, the default) picks FGT for the Full/
+    Hybrid fast phase when the problem is at or past the measured
+    crossover size.  Exact mode (``NONE``) never uses FGT — the
+    reference has no such path either."""
+    if use_fgt is not None:
+        return bool(use_fgt)
+    if approximation_type == ApproximationType.NONE:
+        return False
+    return max(int(m_pad), int(n_pad)) >= CPD_FGT_CROSSOVER
 
 
 class Sufficient(NamedTuple):
@@ -186,11 +215,10 @@ def _cpd_estep_pallas_auto(
     runs 108 Gpairs/s at 20k (within 1.16x of its 376k-scale rate).
 
     The solo path routes through the candidate (tile-skipping) wrapper
-    (round 3, ``kernels/pallas_cpd_cand``): block pairs proven to
-    contribute exact f32 zeros — truncated pairs in Hybrid mode,
-    underflowed exponents in exact mode — are never visited, and a
-    global cond falls back to the dense two-phase kernel while the
-    mixture is still wide.  Bit-identical either way."""
+    (round 3, ``kernels/pallas_cpd_cand``): with truncation active
+    (Hybrid's tight phase), block pairs proven to contribute exact f32
+    zeros are never visited; without truncation a global cond falls
+    back to the dense two-phase kernel.  Bit-identical either way."""
     from tpuslam.kernels.pallas_cpd_cand import cpd_estep_cand
 
     return cpd_estep_cand(
@@ -433,7 +461,7 @@ def cpd_register(
     approximation_type: ApproximationType = ApproximationType.NONE,
     ratio_of_far_field: float = 10.0,
     order_of_truncation: int = 8,
-    use_fgt: bool = False,
+    use_fgt: Optional[bool] = None,
     # cap >= 50 + 1/0.015 so the adaptive live count (cpdutils.cpp:35)
     # is never clipped during the Hybrid FGT phase
     fgt_k: int = 128,
@@ -446,13 +474,17 @@ def cpd_register(
 ) -> RegistrationResult:
     """Register ``before`` (the moving GMM centroids) onto ``after``.
 
-    By default the Full/Hybrid fast path runs the exact blocked E-step
-    with FGT-mode constant semantics (on TPU the exact tiles ARE the fast
-    path — see module doc).  ``use_fgt=True`` runs the reference's actual
-    Fast Gauss Transform approximation (``tpuslam.ops.fgt``) in those
-    phases instead, with ``fgt_k`` centers, truncation order
-    ``order_of_truncation`` and far-field radius ``ratio_of_far_field``
-    (``cpdutils.cpp:33-36``).
+    ``use_fgt`` picks the Full/Hybrid fast-phase E-step.  ``None``
+    (auto, the default) applies the measured size crossover
+    (``CPD_FGT_CROSSOVER``): below it the exact blocked E-step with
+    FGT-mode constant semantics (the MXU tiles are cheaper than the
+    approximation at those sizes); at or above it the reference's
+    actual Fast Gauss Transform (``tpuslam.ops.fgt``, with ``fgt_k``
+    centers, truncation order ``order_of_truncation`` and far-field
+    radius ``ratio_of_far_field``, ``cpdutils.cpp:33-36``) — exactly
+    the ladder the reference prescribes
+    (``coherentpointdrift.cpp:141-166``).  ``True``/``False`` force
+    one arm.
 
     ``centroid_init=True`` starts EM from the centroid-difference
     translation instead of zero (and computes sigma^2_0 from the
@@ -463,6 +495,9 @@ def cpd_register(
     responsibilities make the cross-covariance vanish) and EM stalls in
     that degenerate optimum.
     """
+    use_fgt = resolve_use_fgt(
+        use_fgt, approximation_type, before.padded_size, after.padded_size
+    )
     moving = before.points
     target = after.points
     mask_b = before.mask()
@@ -727,7 +762,10 @@ def cpd_register_chunked(
             "weight": float(kwargs.get("weight", 0.3)),
             "const_scale": bool(kwargs.get("const_scale", False)),
             "approximation_type": str(getattr(approx, "value", approx)),
-            "use_fgt": bool(kwargs.get("use_fgt", False)),
+            "use_fgt": resolve_use_fgt(
+                kwargs.get("use_fgt"), approx,
+                before.padded_size, after.padded_size,
+            ),
             "fgt_k": int(kwargs.get("fgt_k", 128)),
             "order_of_truncation": int(
                 kwargs.get("order_of_truncation", 8)

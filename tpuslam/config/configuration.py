@@ -87,10 +87,11 @@ class Configuration:
     additional_outliers_after: int = 0
     ratio_of_far_field: float = 10.0  # fgt-ratio-of-far-field
     order_of_truncation: int = 8  # fgt-order-of-truncation
-    # extension (not in the reference config contract): run the real FGT
-    # approximation in CPD full/hybrid phases instead of the exact blocked
-    # fast path
-    cpd_use_fgt: bool = False
+    # extension (not in the reference config contract): tri-state pick
+    # of the CPD full/hybrid fast-phase E-step.  None (default) = auto,
+    # the measured size crossover (cpd.CPD_FGT_CROSSOVER: exact blocked
+    # kernel below it, device FGT at/above it); true/false force one arm
+    cpd_use_fgt: Optional[bool] = None
     # extension: start CPD EM from the centroid-difference translation
     # (rescues free-scale mode at large translations; see cpd_register)
     cpd_centroid_init: bool = False
@@ -153,7 +154,8 @@ class Configuration:
             f"additional-outliers-after: {self.additional_outliers_after}",
             f"fgt-ratio-of-far-field: {self.ratio_of_far_field}",
             f"fgt-order-of-truncation: {self.order_of_truncation}",
-            f"cpd-use-fgt: {str(self.cpd_use_fgt).lower()}",
+            f"cpd-use-fgt: "
+            f"{'auto' if self.cpd_use_fgt is None else str(self.cpd_use_fgt).lower()}",
             f"cpd-centroid-init: {str(self.cpd_centroid_init).lower()}",
             f"icp-prealign: {str(self.icp_prealign).lower()}",
             f"save-output-path: {self.save_output_path}",

@@ -217,10 +217,12 @@ class ConfigParser:
         c.additional_outliers_after = int(opt(parsed, "additional-outliers-after", 0))
         c.ratio_of_far_field = float(opt(parsed, "fgt-ratio-of-far-field", 10.0))
         c.order_of_truncation = int(opt(parsed, "fgt-order-of-truncation", 8))
-        # extension key (not in the reference): opt IN to the actual FGT
-        # approximation for CPD full/hybrid phases instead of the exact
-        # blocked fast path (see tpuslam.algorithms.cpd module doc)
-        c.cpd_use_fgt = bool(opt(parsed, "cpd-use-fgt", False))
+        # extension key (not in the reference): force the CPD full/
+        # hybrid fast-phase arm — true = device FGT, false = exact
+        # blocked kernel; absent = auto (the measured size crossover,
+        # see tpuslam.algorithms.cpd module doc)
+        _fgt = opt(parsed, "cpd-use-fgt", None)
+        c.cpd_use_fgt = None if _fgt is None else bool(_fgt)
         # extension key: centroid-difference EM start for CPD (rescues
         # free-scale registration at large translations)
         c.cpd_centroid_init = bool(opt(parsed, "cpd-centroid-init", False))

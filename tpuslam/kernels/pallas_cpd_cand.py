@@ -1,16 +1,19 @@
 """Pallas TPU kernels: candidate-driven (tile-skipping) CPD E-step.
 
 The dense two-phase E-step (``pallas_cpd``) evaluates every
-(target, moving) pair.  But most pairs contribute EXACTLY zero once the
-mixture tightens: with truncation active (the reference's Hybrid mode,
-``coherentpointdrift.cpp:191-196``) the kernel zeroes ``exp(expo)`` for
-``expo < log(truncate)`` by construction, and even in exact mode any
-``expo < ~-120`` underflows to f32 +0.0 on every backend.  Summands
-that are exactly +0.0 can be skipped without changing ANY partial sum
-bitwise — so whole (target-tile, moving-tile) block pairs whose
-rigorous minimum distance puts every pair past the cutoff are simply
-never visited, and the result stays bit-identical to the dense kernel
-on the same inputs.
+(target, moving) pair.  But with truncation active (the reference's
+Hybrid mode, ``coherentpointdrift.cpp:191-196``) most pairs contribute
+EXACTLY zero once the mixture tightens: the kernel zeroes ``exp(expo)``
+for ``expo < log(truncate)`` by construction.  Summands that are
+exactly +0.0 can be skipped without changing ANY partial sum bitwise —
+so whole (target-tile, moving-tile) block pairs whose rigorous minimum
+distance puts every pair past the cutoff are simply never visited, and
+the result stays bit-identical to the dense kernel on the same inputs.
+Without truncation everything is admitted and the wrapper routes to
+the dense kernel (an exact-mode f32-underflow cutoff at expo < -120
+existed in round 3 but measured 1.00x in-loop — by the time sigma^2 is
+small enough for ~15.5-sigma pair distances to underflow, EM has
+converged — and was removed).
 
 Mechanics mirror the hierarchical NN (``ops/nn_hier``): both clouds
 enter Morton-sorted (the CPD driver sorts once per registration — an
@@ -52,10 +55,6 @@ from tpuslam.ops.nn_hier import _build_cand_table
 from tpuslam.ops.spatial import tile_bounds
 
 SLOTS = 8
-# exact-mode cutoff: exp(expo) underflows to f32 +0.0 for expo below
-# ~-103.98 (min denormal); -120 leaves margin for any exp
-# implementation's last-ulp behavior on any backend
-_EXACT_CUTOFF = -120.0
 # candidate budget as a fraction of the block count: above ~5/8 of the
 # blocks admitted, the dense scan is at least as fast
 _BUDGET_NUM, _BUDGET_DEN = 5, 8
@@ -175,13 +174,15 @@ def cpd_estep_cand(
     lb = jnp.min(
         lb.reshape(tn, f_sub, tm, f_sub), axis=(1, 3)
     )  # [Tn, Tm]
-    expo_cut = jnp.where(
-        trunc_active,
-        jnp.float32(math.log(truncate)),
-        jnp.float32(_EXACT_CUTOFF),
+    d2_cut = (
+        -jnp.float32(math.log(truncate))
+        * 2.0 * sigma2 * jnp.float32(1.0 + 1e-5)
     )
-    d2_cut = (-expo_cut) * 2.0 * sigma2 * jnp.float32(1.0 + 1e-5)
-    adm = (lb * lb) <= d2_cut  # [Tn, Tm]
+    # no truncation -> admit everything (forces the dense fallback via
+    # the overflow cond below); see module doc on the removed exact arm
+    adm = jnp.logical_or(
+        jnp.logical_not(trunc_active), (lb * lb) <= d2_cut
+    )  # [Tn, Tm]
 
     counts_n = jnp.sum(adm, axis=1).astype(jnp.int32)  # per target block
     counts_m = jnp.sum(adm, axis=0).astype(jnp.int32)  # per moving block

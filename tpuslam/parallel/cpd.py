@@ -281,18 +281,26 @@ def cpd_register_sharded(
     max_iterations: int = -1,
     tolerance: float = 1e-3,
     approximation_type: ApproximationType = ApproximationType.NONE,
-    use_fgt: bool = False,
+    use_fgt: bool | None = None,
     fgt_k: int = 128,
     order_of_truncation: int = 8,
     ratio_of_far_field: float = 10.0,
 ) -> RegistrationResult:
     """``before`` (moving) replicated, ``after`` (target) sharded.
 
-    ``use_fgt=True`` runs the Fast Gauss Transform approximation in the
-    Full/Hybrid fast phases, sharded: the target-side model is a
-    per-shard clustering all-gathered into a union model (one collective
-    round per E-step), with the reference's adaptive live-center count
+    ``use_fgt`` follows the single-device tri-state
+    (``tpuslam.algorithms.cpd.resolve_use_fgt``): ``None`` applies the
+    measured size crossover on the GLOBAL problem size; ``True`` forces
+    the Fast Gauss Transform approximation in the Full/Hybrid fast
+    phases, sharded: the target-side model is a per-shard clustering
+    all-gathered into a union model (one collective round per E-step),
+    with the reference's adaptive live-center count
     (``cpdutils.cpp:35``) split across shards."""
+    from tpuslam.algorithms.cpd import resolve_use_fgt
+
+    use_fgt = resolve_use_fgt(
+        use_fgt, approximation_type, before.padded_size, after.padded_size
+    )
     fn = _build(
         mesh, const_scale, approximation_type, use_fgt, fgt_k,
         order_of_truncation, ratio_of_far_field,
