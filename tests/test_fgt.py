@@ -201,3 +201,42 @@ def test_cpd_register_use_fgt_actually_runs_fgt(rng, monkeypatch):
         use_fgt=True, fgt_k=47,
     )
     assert calls, "cpd_estep_fgt was never traced"
+
+
+def test_cpd_register_hybrid_split_runs_both_phases(rng):
+    """Hybrid + use_fgt runs as two specialized while_loops (no in-loop
+    lax.cond; see cpd_register).  The recorded sigma^2 trajectory must
+    cross the 0.015*sigma0^2 switch — i.e. BOTH the FGT fast loop and
+    the truncated-exact slow loop executed — and still recover the
+    transform."""
+    from tests.conftest import random_rigid
+    from tpuslam.algorithms.cpd import cpd_register, sigma_squared_init
+    from tpuslam.config.configuration import ApproximationType
+
+    before = (rng.random((300, 3)) * 6.0 - 3.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.15, trans=0.3)
+    after = (before @ r.T + t)[rng.permutation(300)].astype(np.float32)
+    cb, ca = pad_cloud(before), pad_cloud(after)
+    s0 = float(
+        sigma_squared_init(cb.points, cb.mask(), ca.points, ca.mask())
+    )
+    result = cpd_register(
+        cb, ca, weight=0.1, max_iterations=150, tolerance=1e-6,
+        approximation_type=ApproximationType.Hybrid,
+        use_fgt=True, fgt_k=64, record_history=True,
+    )
+    iters = int(result.iterations)
+    hist = np.asarray(result.history)[:iters, 0]  # sigma^2 per iteration
+    switch = 0.015 * s0
+    assert hist[0] > switch, "run never saw the fast phase"
+    assert hist[-1] <= switch, "run never reached the slow phase"
+    rot = np.asarray(result.transform.rotation)
+    trans = np.asarray(result.transform.translation)
+    scale = float(result.transform.scale)
+    mse = np.mean(
+        np.sum(
+            (scale * (before @ rot.T) + trans - (before @ r.T + t)) ** 2,
+            -1,
+        )
+    )
+    assert mse < 1e-2

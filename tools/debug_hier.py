@@ -44,14 +44,14 @@ def read(x):
 
 
 @partial(jax.jit, static_argnames=())
-def iteration_stats(transformed, src_mask, target, prev_dist, prev_tr,
+def iteration_stats(transformed, src_mask, target, prev_target,
                     warm):
     dc2, eps = _center_dc2(transformed, target)
     radii = target.radii
     ub = jnp.min(jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii[None, :],
                  axis=1)
-    delta = jnp.linalg.norm(transformed - prev_tr, axis=-1)
-    ub_warm = jnp.sqrt(prev_dist) * 1.00001 + delta + 1e-6
+    delta = jnp.linalg.norm(transformed - prev_target, axis=-1)
+    ub_warm = delta * 1.00001 + 1e-6
     ub = jnp.where(warm, jnp.minimum(ub, ub_warm), ub)
     ub = ub * 1.00001 + 1e-6
     c = dc2.shape[1]
@@ -89,14 +89,13 @@ def main():
 
     R = jnp.eye(3)
     T = jnp.zeros(3)
-    prev_dist = jnp.zeros((src.shape[0],), jnp.float32)
-    prev_tr = jnp.zeros_like(src)
+    prev_target = jnp.zeros_like(src)
     warm = jnp.asarray(False)
 
     for it in range(14):
         transformed = src @ R.T + T
         cmax_t, cmean, psrc, dmax = iteration_stats(
-            transformed, src_mask, target, prev_dist, prev_tr, warm
+            transformed, src_mask, target, prev_target, warm
         )
         idx, dist = nearest_neighbors_pallas(
             transformed, target.original_points, target.count
@@ -104,7 +103,7 @@ def main():
         print(f"it{it:2d}: max_tiles={int(cmax_t):4d} "
               f"mean_tiles={float(cmean):7.1f} per_src={float(psrc):7.1f} "
               f"max_delta={float(dmax):8.4f}", flush=True)
-        prev_dist, prev_tr, warm = dist, transformed, jnp.asarray(True)
+        prev_target, warm = target.original_points[idx], jnp.asarray(True)
         # map sorted->orig target idx already original; gather matched
         R, T = icp_step(transformed, src, ca.points, idx, dist, src_mask,
                         R, T)
@@ -141,25 +140,20 @@ def main():
     print(f"bound pass:      {timeit(run_bounds)*1e3:7.2f} ms")
 
     # full hier call (warm, converged)
-    from tpuslam.ops.nn_hier import nearest_neighbors_hier
+    from tpuslam.ops.nn_hier import HierState, nearest_neighbors_hier
 
-    delta = jnp.linalg.norm(transformed - prev_tr, axis=-1)
-
-    def run_hier(i):
-        _, d = nearest_neighbors_hier(
+    def run_hier(i, warm=True):
+        _, d, _ = nearest_neighbors_hier(
             pert(transformed, jnp.float32(i)), src_mask, target,
-            prev_dist=prev_dist, delta=delta, use_warm=jnp.asarray(True),
+            HierState(prev_target=prev_target, warm=jnp.asarray(warm),
+                      sparse=jnp.asarray(False)),
         )
         return d
 
     print(f"hier NN (warm):  {timeit(run_hier)*1e3:7.2f} ms")
 
     def run_hier_cold(i):
-        _, d = nearest_neighbors_hier(
-            pert(transformed, jnp.float32(i)), src_mask, target,
-            prev_dist=prev_dist, delta=delta, use_warm=jnp.asarray(False),
-        )
-        return d
+        return run_hier(i, warm=False)
 
     print(f"hier NN (cold):  {timeit(run_hier_cold)*1e3:7.2f} ms")
 

@@ -108,10 +108,9 @@ def main():
                 jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii[None, :],
                 axis=1,
             )
-            delta_prev = jnp.linalg.norm(pos - state.prev_pos, axis=-1)
             ub_warm = (
-                jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
-                + delta_prev + jnp.float32(1e-6)
+                jnp.linalg.norm(pos - state.prev_target, axis=-1)
+                * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
             )
             ub = jnp.where(state.warm, jnp.minimum(ub, ub_warm), ub)
             ub = ub * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)

@@ -133,7 +133,7 @@ def main():
     @jax.jit
     def stage_a(pts, st):
         def bound_chunk(args):
-            pos, mask_c, prev_pos, prev_dist = args
+            pos, mask_c, prev_target = args
             rows = pos.shape[0]
             dc2, eps = _center_dc2(pos, target)
             radii = target.radii
@@ -141,10 +141,9 @@ def main():
                 jnp.sqrt(jnp.maximum(dc2, 0.0) + eps) + radii[None, :],
                 axis=1,
             )
-            delta_prev = jnp.linalg.norm(pos - prev_pos, axis=-1)
             ub_warm = (
-                jnp.sqrt(prev_dist) * jnp.float32(1.0 + 1e-5)
-                + delta_prev + jnp.float32(1e-6)
+                jnp.linalg.norm(pos - prev_target, axis=-1)
+                * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
             )
             ub = jnp.where(st.warm, jnp.minimum(ub, ub_warm), ub)
             ub = ub * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)
@@ -156,7 +155,7 @@ def main():
             gsrc, (bound_chunk_elems // max(c, 1)) // gsrc * gsrc
         )
         if rows_per_chunk >= n_pad:
-            return bound_chunk((pts, src_mask, st.prev_pos, st.prev_dist))
+            return bound_chunk((pts, src_mask, st.prev_target))
         n_chunks = -(-n_pad // rows_per_chunk)
         pad = n_chunks * rows_per_chunk - n_pad
 
@@ -166,8 +165,7 @@ def main():
 
         return jax.lax.map(
             bound_chunk,
-            (chunked(pts), chunked(src_mask), chunked(st.prev_pos),
-             chunked(st.prev_dist)),
+            (chunked(pts), chunked(src_mask), chunked(st.prev_target)),
         ).reshape(-1, c)[:ts]
 
     adm_tile = stage_a(warm_pts, state)

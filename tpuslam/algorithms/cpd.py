@@ -560,15 +560,30 @@ def cpd_register(
             sigma2_init=sigma2_0,
         )
 
-    def body(s: CPDState) -> CPDState:
-        new_s = _body(s)
-        # freeze finished problems for vmap (see icp.py body note)
-        keep = cond(s)
-        return jax.tree.map(
-            lambda old, new: jnp.where(keep, new, old), s, new_s
-        )
+    # Hybrid with true FGT runs as TWO specialized while_loops under an
+    # outer loop (see the loop construction below) instead of a
+    # lax.cond-per-iteration body: a conditional inside a dynamic-trip
+    # while_loop measured ~2x the taken branch's cost on the chip at
+    # 376k (tools/probe_cond_dyn.py: 0.59 s/iter vs 0.30 unrolled vs
+    # 0.13 for the FGT branch alone), which kept the round-3 hybrid
+    # headline at dense-kernel speed.  The split executes exactly one
+    # E-step kind per iteration by construction.
+    hybrid_split = (
+        approximation_type == ApproximationType.Hybrid and use_fgt
+    )
 
-    def _body(s: CPDState) -> CPDState:
+    def freeze(body_fn, cond_fn):
+        # freeze finished problems for vmap (see icp.py body note)
+        def wrapped(s: CPDState) -> CPDState:
+            new_s = body_fn(s)
+            keep = cond_fn(s)
+            return jax.tree.map(
+                lambda old, new: jnp.where(keep, new, old), s, new_s
+            )
+
+        return wrapped
+
+    def _body(s: CPDState, fast_phase: bool = False) -> CPDState:
         transformed = s.scale * (moving @ s.rotation.T) + s.translation
 
         if approximation_type == ApproximationType.NONE:
@@ -588,27 +603,26 @@ def cpd_register(
                     uniform_constant(sigma_e, weight, m, n),
                     jnp.asarray(False), use_pallas=use_pallas,
                 )
-        else:  # Hybrid (coherentpointdrift.cpp:157-164)
-            fast_now = s.sigma2 > 0.015 * sigma2_0
-            if use_fgt:
-                stats = jax.lax.cond(
-                    fast_now,
-                    lambda: fgt_stats(transformed, s.sigma2),
-                    lambda: cpd_estep_auto(
-                        transformed, mask_b, target, mask_a, s.sigma2,
-                        c_init, jnp.asarray(True), use_pallas=use_pallas,
-                    ),
-                )
+        elif hybrid_split:  # Hybrid (coherentpointdrift.cpp:157-164)
+            if fast_phase:
+                stats = fgt_stats(transformed, s.sigma2)
             else:
-                c_used = jnp.where(
-                    fast_now,
-                    uniform_constant(s.sigma2, weight, m, n),
-                    c_init,
-                )
                 stats = cpd_estep_auto(
-                    transformed, mask_b, target, mask_a, s.sigma2, c_used,
-                    jnp.logical_not(fast_now), use_pallas=use_pallas,
+                    transformed, mask_b, target, mask_a, s.sigma2,
+                    c_init, jnp.asarray(True), use_pallas=use_pallas,
                 )
+        else:  # Hybrid, exact blocked kernel both phases (below the
+            # FGT crossover): one kernel, traced phase flag — no cond
+            fast_now = s.sigma2 > 0.015 * sigma2_0
+            c_used = jnp.where(
+                fast_now,
+                uniform_constant(s.sigma2, weight, m, n),
+                c_init,
+            )
+            stats = cpd_estep_auto(
+                transformed, mask_b, target, mask_a, s.sigma2, c_used,
+                jnp.logical_not(fast_now), use_pallas=use_pallas,
+            )
         ntol = jnp.abs((stats.error - s.log_likelihood) / stats.error)
         mres = cpd_mstep(moving, target, stats, const_scale, s.scale)
         if verbose:
@@ -654,34 +668,89 @@ def cpd_register(
             ntol=jnp.asarray(resume.ntol, jnp.float32),
             iterations=jnp.int32(0),
         )
+    if hybrid_split:
+        def fast_now(s):
+            return s.sigma2 > 0.015 * sigma2_0
+
+        def cond_fast(s):
+            return jnp.logical_and(cond(s), fast_now(s))
+
+        def cond_slow(s):
+            return jnp.logical_and(
+                cond(s), jnp.logical_not(fast_now(s))
+            )
+
+        # (inner cond, frozen body) per phase; the outer while re-enters
+        # the fast loop should sigma^2 ever rise back over the switch
+        # (the reference re-evaluates the phase per iteration,
+        # coherentpointdrift.cpp:158-164) — each outer trip advances
+        # every live problem by >= 1 EM step, so it terminates
+        arms = [
+            (cond_fast,
+             freeze(partial(_body, fast_phase=True), cond_fast)),
+            (cond_slow, freeze(_body, cond_slow)),
+        ]
+    else:
+        arms = [(cond, freeze(_body, cond))]
+
     if record_history:
         # per-iteration (sigma2, ntol, log-likelihood, scale) ring — the
         # reference's printf telemetry (coherentpointdrift.cpp:121) as
         # data (SURVEY §5.4: dump per-iteration state for debuggability)
-        def cond_h(carry):
-            return cond(carry[0])
+        def with_hist(cond_fn, body_fn):
+            def cond_h(carry):
+                return cond_fn(carry[0])
 
-        def body_h(carry):
-            s, hist = carry
-            new_s = body(s)
-            row = jnp.stack(
-                [new_s.sigma2, new_s.ntol, new_s.log_likelihood,
-                 new_s.scale]
-            )
-            # true ring: iteration i lands in slot i % history_length,
-            # so a run longer than the buffer keeps the most recent
-            # history_length iterations (reconstructable from
-            # result.iterations) instead of overwriting one slot
-            slot = jnp.mod(
-                s.iterations + iter_offset, history_length
-            )
-            return new_s, hist.at[slot].set(row)
+            def body_h(carry):
+                s, hist = carry
+                new_s = body_fn(s)
+                keep = cond_fn(s)
+                row = jnp.stack(
+                    [new_s.sigma2, new_s.ntol, new_s.log_likelihood,
+                     new_s.scale]
+                )
+                # true ring: iteration i lands in slot i %
+                # history_length, so a run longer than the buffer keeps
+                # the most recent history_length iterations
+                # (reconstructable from result.iterations) instead of
+                # overwriting one slot; frozen (vmap) steps leave their
+                # slot untouched
+                slot = jnp.mod(
+                    s.iterations + iter_offset, history_length
+                )
+                hist = hist.at[slot].set(
+                    jnp.where(keep, row, hist[slot])
+                )
+                return new_s, hist
+
+            return cond_h, body_h
 
         hist0 = jnp.full((history_length, 4), jnp.nan, jnp.float32)
-        final, history = jax.lax.while_loop(cond_h, body_h, (init, hist0))
+        hist_arms = [with_hist(c, b) for c, b in arms]
+        if len(hist_arms) == 1:
+            final, history = jax.lax.while_loop(
+                *hist_arms[0], (init, hist0)
+            )
+        else:
+            def outer_body_h(carry):
+                for c_h, b_h in hist_arms:
+                    carry = jax.lax.while_loop(c_h, b_h, carry)
+                return carry
+
+            final, history = jax.lax.while_loop(
+                lambda carry: cond(carry[0]), outer_body_h, (init, hist0)
+            )
     else:
         history = None
-        final = jax.lax.while_loop(cond, body, init)
+        if len(arms) == 1:
+            final = jax.lax.while_loop(*arms[0], init)
+        else:
+            def outer_body(s):
+                for c_a, b_a in arms:
+                    s = jax.lax.while_loop(c_a, b_a, s)
+                return s
+
+            final = jax.lax.while_loop(cond, outer_body, init)
     return RegistrationResult(
         transform=RigidTransform(
             rotation=final.rotation,

@@ -243,7 +243,13 @@ def icp_register(
         n_corr = jnp.sum(w)
         no_corr = n_corr == 0
 
-        matched = after.points[idx]
+        # spatial path: reuse the hier state's matched-point gather
+        # (original_points[idx] — value-identical rows to after.points
+        # for every reachable idx), so XLA CSEs the two gathers into one
+        if use_spatial:
+            matched = nn_state.prev_target
+        else:
+            matched = after.points[idx]
         r_step, t_step = weighted_procrustes(transformed, matched, w)
         r_new = r_step @ s.rotation
         t_new = r_step @ s.translation + t_step

@@ -135,8 +135,9 @@ def save_icp_checkpoint(
     if resume.prev_error is not None:
         arrays["prev_error"] = np.asarray(resume.prev_error, np.float32)
     if resume.nn is not None:
-        arrays["nn_prev_dist"] = np.asarray(resume.nn.prev_dist, np.float32)
-        arrays["nn_prev_pos"] = np.asarray(resume.nn.prev_pos, np.float32)
+        arrays["nn_prev_target"] = np.asarray(
+            resume.nn.prev_target, np.float32
+        )
         arrays["nn_warm"] = np.asarray(resume.nn.warm, bool)
         arrays["nn_sparse"] = np.asarray(resume.nn.sparse, bool)
     _save(path, "icp", arrays, meta)
@@ -151,10 +152,12 @@ def load_icp_checkpoint(
     with np.load(path) as z:
         meta = _load(z, "icp", expect_meta)
         nn = None
-        if "nn_prev_dist" in z:
+        # pre-r4 checkpoints stored (nn_prev_dist, nn_prev_pos); the NN
+        # warm state only affects speed (every arm is exact), so those
+        # load as nn=None and re-warm after one iteration
+        if "nn_prev_target" in z:
             nn = HierState(
-                prev_dist=z["nn_prev_dist"],
-                prev_pos=z["nn_prev_pos"],
+                prev_target=z["nn_prev_target"],
                 warm=z["nn_warm"],
                 sparse=z["nn_sparse"],
             )

@@ -22,12 +22,19 @@ for the *iterative* setting:
    octant boundary span half the cloud, and one such group admits every
    tile and forces the dense fallback for the whole call.
 
-2. **Warm upper bound (from iteration 2 on).**  The previous
-   iteration's exact NN target is still in the cloud and this source
-   moved by exactly ``|Δs|``, so ``ub(s) <= sqrt(d_prev) + |Δs|`` — far
-   tighter than the geometric bound once the per-iteration motion
-   decays, and the reason tile culling pays on uniform clouds where
-   static branch-and-bound was measured neutral.
+2. **Warm upper bound (from iteration 1 on).**  The previous
+   iteration's exact NN target point ``y_prev`` is still in the cloud,
+   so ``ub(s) <= |s_new - y_prev|`` — computed EXACTLY at the new
+   position (one O(N) norm), not via the triangle inequality
+   ``sqrt(d_prev) + |Δs|`` that round 3 used.  The direct form is
+   pointwise tighter always, and drastically so right after a large
+   Procrustes step: the step moves each source TOWARD its matched
+   target (Procrustes minimizes exactly ``Σ|s_new - y_prev|²``), so
+   ``|s_new - y_prev|`` collapses to the post-step residual while
+   ``|Δs|`` is the full step length.  This is what lets the sparse arm
+   engage from iteration 1 of a cold start instead of iteration ~3
+   (measured: the round-3 bound overflowed iterations 1-2 to the dense
+   kernel at 100k, ~25% of a 50-iteration run's wall).
 
 3. **Candidate rescore (VPU).**  ``pallas_nn_cand`` — scalar-prefetch
    indirection over the per-group candidate lists (admissible tiles of
@@ -81,9 +88,11 @@ class HierTarget(NamedTuple):
 class HierState(NamedTuple):
     """Cross-query carry (thread through the ICP loop state)."""
 
-    prev_dist: jnp.ndarray  # f32[N] — exact NN d^2 from previous query
-    prev_pos: jnp.ndarray  # f32[N, 3]
-    warm: jnp.ndarray  # bool[] — prev_dist/prev_pos are valid
+    # the previous query's matched target point (a REAL cloud point, so
+    # the distance to it at any later source position is a rigorous NN
+    # upper bound)
+    prev_target: jnp.ndarray  # f32[N, 3]
+    warm: jnp.ndarray  # bool[] — prev_target is valid
     sparse: jnp.ndarray  # bool[] — last query used the sparse arm
 
 
@@ -141,8 +150,7 @@ def auto_tile_params(m: int) -> Tuple[int, int, int]:
 def hier_state_init(n: int, m: int = 0) -> HierState:
     del m  # kept for call-site stability; state no longer depends on it
     return HierState(
-        prev_dist=jnp.zeros((n,), jnp.float32),
-        prev_pos=jnp.zeros((n, 3), jnp.float32),
+        prev_target=jnp.zeros((n, 3), jnp.float32),
         warm=jnp.asarray(False),
         sparse=jnp.asarray(False),
     )
@@ -378,10 +386,13 @@ def nearest_neighbors_hier(
         * (smax * cmax + cmax * cmax + smax * smax)
         + jnp.float32(1e-6)
     )
-    delta_prev = jnp.linalg.norm(transformed - state.prev_pos, axis=-1)
+    # exact distance to the previous matched target point: a rigorous
+    # upper bound (y_prev is in the cloud), pointwise tighter than the
+    # triangle form sqrt(d_prev) + |Δs| it replaced; the (1+1e-5)
+    # inflation over-covers the ~5e-7 relative f32 error of the norm
     ub_warm = (
-        jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
-        + delta_prev
+        jnp.linalg.norm(transformed - state.prev_target, axis=-1)
+        * jnp.float32(1.0 + 1e-5)
         + jnp.float32(1e-6)
     )
     aux = jnp.stack(
@@ -461,9 +472,11 @@ def nearest_neighbors_hier(
     # downstream index arithmetic (e.g. the sharded global-index
     # offset) relies on idx staying in range
     idx = jnp.where(dist >= jnp.float32(BIG), 0, idx)
+    # the matched-point gather: in the ICP loop the body performs the
+    # SAME gather (original_points[idx]) for Procrustes, so XLA CSEs
+    # this one away; standalone callers pay one O(N) gather
     return idx, dist, HierState(
-        prev_dist=dist,
-        prev_pos=transformed,
+        prev_target=target.original_points[idx],
         warm=jnp.asarray(True),
         sparse=used_sparse,
     )
@@ -523,10 +536,9 @@ def nearest_neighbors_hier_batch(
         * (smax * cmax + cmax * cmax + smax * smax)
         + jnp.float32(1e-6)
     )
-    delta_prev = jnp.linalg.norm(transformed - state.prev_pos, axis=-1)
     ub_warm = (
-        jnp.sqrt(state.prev_dist) * jnp.float32(1.0 + 1e-5)
-        + delta_prev
+        jnp.linalg.norm(transformed - state.prev_target, axis=-1)
+        * jnp.float32(1.0 + 1e-5)
         + jnp.float32(1e-6)
     )
     aux = jnp.stack(
@@ -597,9 +609,11 @@ def nearest_neighbors_hier_batch(
             overflow, dense, rescore, None
         )
     idx = jnp.where(dist >= jnp.float32(BIG), 0, idx)
+    prev_target = jnp.take_along_axis(
+        target.original_points, idx[..., None], axis=1
+    )
     return idx, dist, HierState(
-        prev_dist=dist,
-        prev_pos=transformed,
+        prev_target=prev_target,
         warm=jnp.ones((b,), bool),
         sparse=jnp.broadcast_to(used_sparse, (b,)),
     )
@@ -641,7 +655,7 @@ def _hier_custom_vmap(l_budget: int, g: int, gsrc: int, interpret: bool):
             transformed, src_mask, target, state,
             l_budget=l_budget, g=g, gsrc=gsrc, interpret=interpret,
         )
-        return out, (True, True, HierState(True, True, True, True))
+        return out, (True, True, HierState(True, True, True))
 
     return fn
 
