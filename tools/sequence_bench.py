@@ -1,0 +1,139 @@
+"""Chip benchmark for ``register_sequence`` (VERDICT r3 #5): a 20-scan
+stream at 100k points/scan.
+
+Measures, on the real chip:
+  * scans/s (wall over the 19 consecutive registrations),
+  * mean ICP iterations per pair WITH vs WITHOUT the constant-velocity
+    seed (the claim in ``algorithms/sequence.py``: seeding drops the
+    large-motion dense/coarse NN iterations),
+  * trajectory drift: RMS error of the composed absolute poses applied
+    to the scan-0 cloud vs the ground-truth cumulative transforms.
+
+Scan stream: a deterministic 100k base cloud moving with a smoothly
+varying velocity (rotation ~0.05 rad/step, translation ~0.5/step, both
+slowly precessing), each scan independently RESAMPLED from a 150k
+parent (70% overlap realism) and shuffled.  Writes
+``bench_results/sequence_100k.json``.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+
+import numpy as np
+
+
+def rot_axis_angle(axis, angle):
+    axis = axis / np.linalg.norm(axis)
+    k = np.array([
+        [0, -axis[2], axis[1]],
+        [axis[2], 0, -axis[0]],
+        [-axis[1], axis[0], 0],
+    ])
+    return (
+        np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+    ).astype(np.float32)
+
+
+def main():
+    import jax
+
+    from tpuslam.algorithms.sequence import register_sequence
+    from tpuslam.core.device import prime_device
+
+    prime_device()
+    print(f"backend={jax.default_backend()}", flush=True)
+
+    n_scans = 20
+    n_points = 102_400
+    rng = np.random.Generator(np.random.PCG64(666))
+    parent = (rng.random((153_600, 3), dtype=np.float64) * 10.0).astype(
+        np.float32
+    )
+
+    # ground-truth absolute poses: smoothly precessing constant-ish
+    # velocity (the regime the seed targets)
+    poses = [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))]
+    axis = np.array([0.3, 1.0, 0.2])
+    vel = np.array([0.45, 0.2, -0.1], np.float32)
+    for k in range(1, n_scans):
+        d_axis = axis + 0.1 * np.sin(0.4 * k) * np.array([1.0, 0, 0.5])
+        dr = rot_axis_angle(d_axis, 0.05 + 0.01 * np.sin(0.7 * k))
+        dt = vel + 0.05 * np.array(
+            [np.sin(0.3 * k), np.cos(0.5 * k), np.sin(0.2 * k)],
+            np.float32,
+        )
+        r_prev, t_prev = poses[-1]
+        poses.append((dr @ r_prev, dr @ t_prev + dt))
+
+    scans = []
+    for k, (r, t) in enumerate(poses):
+        sel = rng.permutation(len(parent))[:n_points]
+        scans.append((parent[sel] @ r.T + t).astype(np.float32))
+
+    results = {"n_scans": n_scans, "n_points": n_points}
+    for label, seeded in (("seeded", True), ("unseeded", False)):
+        # warmup: compile the program on a 2-scan prefix
+        register_sequence(
+            scans[:2], max_iterations=50, eps=1e-4,
+            seed_with_previous=seeded,
+        )
+        t0 = time.perf_counter()
+        out = register_sequence(
+            scans, max_iterations=50, eps=1e-4,
+            seed_with_previous=seeded,
+        )
+        wall = time.perf_counter() - t0
+        iters = np.asarray(out.iterations)
+        # trajectory drift: composed absolute pose k maps scan k ->
+        # scan 0's frame; ground truth inverse does the same
+        drifts = []
+        probe = parent[:: len(parent) // 4096][:4096]
+        for k in range(1, n_scans):
+            r_gt, t_gt = poses[k]
+            pts_k = probe @ r_gt.T + t_gt  # scan-k view of probe
+            a = out.absolute[k]
+            back = pts_k @ np.asarray(a.rotation).T + np.asarray(
+                a.translation
+            )
+            drifts.append(
+                float(np.sqrt(np.mean(np.sum((back - probe) ** 2, -1))))
+            )
+        results[f"{label}_wall_s"] = round(wall, 2)
+        results[f"{label}_scans_per_sec"] = round((n_scans - 1) / wall, 2)
+        results[f"{label}_mean_iters"] = round(float(iters.mean()), 1)
+        results[f"{label}_final_drift_rms"] = round(drifts[-1], 4)
+        print(
+            f"{label}: {wall:.2f} s ({(n_scans-1)/wall:.2f} scans/s), "
+            f"mean iters {iters.mean():.1f}, "
+            f"final drift RMS {drifts[-1]:.4f}",
+            flush=True,
+        )
+
+    results["seed_iteration_savings"] = round(
+        results["unseeded_mean_iters"] - results["seeded_mean_iters"], 1
+    )
+    results["seed_speedup"] = round(
+        results["unseeded_wall_s"] / results["seeded_wall_s"], 2
+    )
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "bench_results", "sequence_100k.json",
+    )
+    with open(os.path.abspath(out_path), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

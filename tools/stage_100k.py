@@ -160,16 +160,16 @@ def main():
     sweep = len(sys.argv) > 1 and sys.argv[1] == "sweep"
     cb, ca = build_pair()
 
-    configs = [(256, 256, 160)]
+    configs = [(128, 1024, 256)]  # auto_tile_params(102400) production
     if sweep:
         configs = [
-            (256, 256, 160),  # production default
-            (128, 256, 256),
-            (64, 256, 512),
-            (256, 128, 160),
-            (128, 128, 256),
-            (512, 256, 160),
-            (256, 512, 160),
+            (128, 1024, 256),  # production (round 3+)
+            (256, 256, 160),   # round-2 default
+            (128, 512, 256),
+            (256, 1024, 256),
+            (128, 1024, 160),
+            (64, 1024, 256),
+            (128, 1024, 512),
         ]
 
     from tpuslam.kernels.pallas_nn import nearest_neighbors_pallas

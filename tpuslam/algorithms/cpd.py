@@ -604,12 +604,22 @@ def cpd_register(
                     jnp.asarray(False), use_pallas=use_pallas,
                 )
         elif hybrid_split:  # Hybrid (coherentpointdrift.cpp:157-164)
-            if fast_phase:
+            if fast_phase is True:
                 stats = fgt_stats(transformed, s.sigma2)
-            else:
+            elif fast_phase is False:
                 stats = cpd_estep_auto(
                     transformed, mask_b, target, mask_a, s.sigma2,
                     c_init, jnp.asarray(True), use_pallas=use_pallas,
+                )
+            else:  # the multi-bounce fallback body (see loop build)
+                stats = jax.lax.cond(
+                    s.sigma2 > 0.015 * sigma2_0,
+                    lambda: fgt_stats(transformed, s.sigma2),
+                    lambda: cpd_estep_auto(
+                        transformed, mask_b, target, mask_a, s.sigma2,
+                        c_init, jnp.asarray(True),
+                        use_pallas=use_pallas,
+                    ),
                 )
         else:  # Hybrid, exact blocked kernel both phases (below the
             # FGT crossover): one kernel, traced phase flag — no cond
@@ -680,15 +690,31 @@ def cpd_register(
                 cond(s), jnp.logical_not(fast_now(s))
             )
 
-        # (inner cond, frozen body) per phase; the outer while re-enters
-        # the fast loop should sigma^2 ever rise back over the switch
-        # (the reference re-evaluates the phase per iteration,
-        # coherentpointdrift.cpp:158-164) — each outer trip advances
-        # every live problem by >= 1 EM step, so it terminates
+        # (cond, frozen body) per phase, run as a FLAT sequence of
+        # top-level while_loops: fast, slow, fast, slow, then a
+        # cond-body fallback.  The sequence covers any trajectory with
+        # <= 2 phase flips exactly (sigma^2 is monotone decreasing in
+        # every recorded trajectory — one flip); a pathological
+        # multi-bounce run finishes in the fallback loop, whose body
+        # re-evaluates the phase per iteration exactly like the
+        # reference (coherentpointdrift.cpp:158-164).  Flat rather than
+        # nested-under-an-outer-while, and specialized loops rather
+        # than lax.cond-per-iteration, because both alternatives were
+        # measured/observed broken on the TPU toolchain at 376k
+        # (tools/probe_split_struct.py: in-loop cond costs ~2.5x the
+        # taken branch; the nested form hit an XLA internal RET_CHECK
+        # miscompile guard): the flat specialized loops run at the bare
+        # E-step's cost.
         arms = [
             (cond_fast,
              freeze(partial(_body, fast_phase=True), cond_fast)),
-            (cond_slow, freeze(_body, cond_slow)),
+            (cond_slow,
+             freeze(partial(_body, fast_phase=False), cond_slow)),
+            (cond_fast,
+             freeze(partial(_body, fast_phase=True), cond_fast)),
+            (cond_slow,
+             freeze(partial(_body, fast_phase=False), cond_slow)),
+            (cond, freeze(partial(_body, fast_phase=None), cond)),
         ]
     else:
         arms = [(cond, freeze(_body, cond))]
@@ -726,31 +752,16 @@ def cpd_register(
             return cond_h, body_h
 
         hist0 = jnp.full((history_length, 4), jnp.nan, jnp.float32)
-        hist_arms = [with_hist(c, b) for c, b in arms]
-        if len(hist_arms) == 1:
-            final, history = jax.lax.while_loop(
-                *hist_arms[0], (init, hist0)
-            )
-        else:
-            def outer_body_h(carry):
-                for c_h, b_h in hist_arms:
-                    carry = jax.lax.while_loop(c_h, b_h, carry)
-                return carry
-
-            final, history = jax.lax.while_loop(
-                lambda carry: cond(carry[0]), outer_body_h, (init, hist0)
-            )
+        carry = (init, hist0)
+        for c_a, b_a in arms:
+            c_h, b_h = with_hist(c_a, b_a)
+            carry = jax.lax.while_loop(c_h, b_h, carry)
+        final, history = carry
     else:
         history = None
-        if len(arms) == 1:
-            final = jax.lax.while_loop(*arms[0], init)
-        else:
-            def outer_body(s):
-                for c_a, b_a in arms:
-                    s = jax.lax.while_loop(c_a, b_a, s)
-                return s
-
-            final = jax.lax.while_loop(cond, outer_body, init)
+        final = init
+        for c_a, b_a in arms:
+            final = jax.lax.while_loop(c_a, b_a, final)
     return RegistrationResult(
         transform=RigidTransform(
             rotation=final.rotation,
@@ -762,6 +773,26 @@ def cpd_register(
         history=history,
         em=final,  # the chunked driver's carry (cpd_register_chunked)
     )
+
+
+# The chunked driver's per-chunk dispatch, jitted: an eager
+# cpd_register call is dozens of separate device dispatches (Morton
+# sorts, sigma^2 init, five while_loops ...), which through a relayed
+# TPU backend costs ~2 s of round-trip latency per chunk and kept the
+# 376k hybrid headline at dense-kernel speed while the jitted probe ran
+# 0.28 s/iter (tools/probe_split_struct.py).  One program per chunk;
+# max_iterations and resume are traced, so every chunk after the first
+# reuses one compiled program.
+_cpd_register_jit = jax.jit(
+    cpd_register,
+    static_argnames=(
+        "eps", "weight", "const_scale", "tolerance",
+        "approximation_type", "ratio_of_far_field",
+        "order_of_truncation", "use_fgt", "fgt_k", "verbose",
+        "record_history", "history_length", "use_pallas",
+        "centroid_init",
+    ),
+)
 
 
 def cpd_register_chunked(
@@ -869,7 +900,7 @@ def cpd_register_chunked(
             )
     while True:
         k = min(chunk, max_iterations - total)
-        result = cpd_register(
+        result = _cpd_register_jit(
             before, after, max_iterations=k, resume=resume, **kwargs
         )
         did = int(result.iterations)
