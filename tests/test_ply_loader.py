@@ -183,12 +183,13 @@ def test_ply_binary_skips_fixed_stride_element_before_vertex(tmp_path):
 
 
 def test_unsupported_format_is_loud(tmp_path, capsys):
-    p = tmp_path / "cloud.stl"
-    p.write_text("solid x\nendsolid x\n")
+    # .stl/.dae graduated to supported formats; .3ds is still out
+    p = tmp_path / "cloud.3ds"
+    p.write_text("not a model\n")
     cloud = load_cloud(str(p))
     assert cloud.shape == (0, 3)  # contract preserved
     err = capsys.readouterr().err
-    assert "unsupported cloud format" in err and ".stl" in err
+    assert "unsupported cloud format" in err and ".3ds" in err
 
 
 def test_supported_formats_stay_quiet(tmp_path, capsys):

@@ -233,6 +233,78 @@ SEARCH_ROOTS = [
 ]
 
 
+def _load_stl(path: str) -> np.ndarray:
+    """Parse STL (ascii and binary) the way the reference sees it:
+    Assimp's STL importer emits THREE vertices per facet in file order
+    and the reference never requests ``aiProcess_JoinIdenticalVertices``
+    (``loader.cpp:32``), so shared corners stay duplicated — a cube of
+    12 facets is 36 points.
+
+    Binary detection follows the de-facto rule (the 'solid' prefix is
+    unreliable — binary exporters write it too): the file is binary iff
+    its size matches ``84 + 50 * facet_count`` from the header."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        head = fh.read(84)
+        if len(head) == 84:
+            (count,) = np.frombuffer(head[80:84], dtype="<u4")
+            if size == 84 + 50 * int(count):
+                body = fh.read(50 * int(count))
+                # facet record: normal f32[3], vertices f32[9], attr u16
+                rec = np.frombuffer(body, dtype="<u1").reshape(-1, 50)
+                tri = rec[:, :48].copy().view("<f4").reshape(-1, 12)
+                return (
+                    tri[:, 3:12].astype(np.float32).reshape(-1, 3)
+                )
+    pts: list[float] = []
+    with open(path, "r", errors="replace") as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) == 4 and parts[0] == "vertex":
+                pts.extend(
+                    (float(parts[1]), float(parts[2]), float(parts[3]))
+                )
+    return np.asarray(pts, dtype=np.float32).reshape(-1, 3)
+
+
+def _load_dae(path: str) -> np.ndarray:
+    """Parse Collada geometry positions: every ``<geometry><mesh>``'s
+    POSITION source, concatenated in document order.
+
+    Matches the reference's observable semantics: its ``ProcessNode``
+    reads each mesh's raw vertex buffer and IGNORES node transforms
+    (``loader.cpp:46-66`` never touches ``mTransformation``), so scene
+    placement does not move points here either.  Triangulation is
+    irrelevant — only positions are consumed."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"c": "http://www.collada.org/2005/11/COLLADASchema"}
+    root = ET.parse(path).getroot()
+    clouds = []
+    for geom in root.iter("{%s}geometry" % ns["c"]):
+        for mesh in geom.findall("c:mesh", ns):
+            # <vertices><input semantic="POSITION" source="#id"/>
+            src_id = None
+            verts = mesh.find("c:vertices", ns)
+            if verts is not None:
+                for inp in verts.findall("c:input", ns):
+                    if inp.get("semantic") == "POSITION":
+                        src_id = (inp.get("source") or "").lstrip("#")
+            for source in mesh.findall("c:source", ns):
+                if src_id is not None and source.get("id") != src_id:
+                    continue
+                arr = source.find("c:float_array", ns)
+                if arr is None or not arr.text:
+                    continue
+                vals = np.asarray(arr.text.split(), dtype=np.float32)
+                if vals.size % 3 == 0 and vals.size:
+                    clouds.append(vals.reshape(-1, 3))
+                break
+    if not clouds:
+        return np.zeros((0, 3), dtype=np.float32)
+    return np.concatenate(clouds, axis=0)
+
+
 def resolve_path(path: str) -> str:
     if os.path.isabs(path) or os.path.exists(path):
         return path
@@ -307,6 +379,10 @@ def load_cloud(path: str) -> np.ndarray:
             return _load_off(path)
         if ext == ".ply":
             return _load_ply(path)
+        if ext == ".stl":
+            return _load_stl(path)
+        if ext == ".dae":
+            return _load_dae(path)
     except Exception:  # noqa: BLE001 — unparsable => empty, like Assimp failure
         return np.zeros((0, 3), dtype=np.float32)
     # unsupported format: keep the empty-cloud contract, but say so
@@ -315,7 +391,7 @@ def load_cloud(path: str) -> np.ndarray:
     # pointing a config at e.g. cloud.stl must learn why it is empty)
     print(
         f"[tpuslam] unsupported cloud format '{ext}' for {path} "
-        f"(supported: .obj, .off, .ply, synthetic://N)",
+        f"(supported: .obj, .off, .ply, .stl, .dae, synthetic://N)",
         file=sys.stderr,
     )
     return np.zeros((0, 3), dtype=np.float32)
