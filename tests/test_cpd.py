@@ -261,6 +261,32 @@ def test_centroid_init_noop_when_centroids_match(rng):
     assert int(res_a.iterations) == int(res_b.iterations)
 
 
+def test_chunked_presorted_matches_unchunked(rng):
+    """With the pallas path on, the chunked driver Morton-sorts ONCE
+    and dispatches chunks with assume_sorted=True (a TPU argsort at
+    mustang scale is not cheap); the trajectory must still be
+    bit-identical to the single-dispatch run, which sorts internally."""
+    from tpuslam.algorithms.cpd import cpd_register_chunked
+
+    before = (rng.random((300, 3)) * 6.0 - 3.0).astype(np.float32)
+    after = before[rng.permutation(300)].astype(np.float32) + 0.1
+    kw = dict(
+        weight=0.1, max_iterations=20, tolerance=1e-6, use_pallas=True
+    )
+    whole = cpd_register(pad_cloud(before), pad_cloud(after), **kw)
+    parts = cpd_register_chunked(
+        pad_cloud(before), pad_cloud(after), chunk=7, **kw
+    )
+    assert int(parts.iterations) == int(whole.iterations)
+    np.testing.assert_array_equal(
+        np.asarray(parts.transform.rotation),
+        np.asarray(whole.transform.rotation),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(parts.error), np.asarray(whole.error)
+    )
+
+
 @pytest.mark.parametrize(
     "mode",
     [ApproximationType.NONE, ApproximationType.Hybrid, ApproximationType.Full],

@@ -448,6 +448,7 @@ class CPDResume(NamedTuple):
         "const_scale", "approximation_type", "use_fgt",
         "order_of_truncation", "fgt_k", "verbose", "record_history",
         "history_length", "use_pallas", "centroid_init",
+        "assume_sorted",
     ),
 )
 def cpd_register(
@@ -471,6 +472,7 @@ def cpd_register(
     use_pallas=None,
     centroid_init: bool = False,
     resume: Optional[CPDResume] = None,
+    assume_sorted: bool = False,
 ) -> RegistrationResult:
     """Register ``before`` (the moving GMM centroids) onto ``after``.
 
@@ -502,14 +504,18 @@ def cpd_register(
     target = after.points
     mask_b = before.mask()
     mask_a = after.mask()
-    if use_pallas if use_pallas is not None else (
-        jax.default_backend() == "tpu"
+    if not assume_sorted and (
+        use_pallas if use_pallas is not None
+        else jax.default_backend() == "tpu"
     ):
         # Morton-sort both clouds once per registration: EM consumes
         # only sufficient statistics, so the result is row-order
         # invariant (up to f32 summation order), and sorted rows give
         # the candidate E-step (kernels/pallas_cpd_cand) spatially
-        # compact blocks whose zero-contribution pairs it can skip
+        # compact blocks whose zero-contribution pairs it can skip.
+        # (assume_sorted: the chunked driver pre-sorts ONCE — a TPU
+        # argsort at 376k is not cheap — and invalid rows sort last, so
+        # Cloud.mask() stays valid on the pre-sorted clouds.)
         from tpuslam.ops.spatial import morton_permutation
 
         perm_b = morton_permutation(moving, mask_b)
@@ -775,24 +781,15 @@ def cpd_register(
     )
 
 
-# The chunked driver's per-chunk dispatch, jitted: an eager
-# cpd_register call is dozens of separate device dispatches (Morton
-# sorts, sigma^2 init, five while_loops ...), which through a relayed
-# TPU backend costs ~2 s of round-trip latency per chunk and kept the
-# 376k hybrid headline at dense-kernel speed while the jitted probe ran
-# 0.28 s/iter (tools/probe_split_struct.py).  One program per chunk;
-# max_iterations and resume are traced, so every chunk after the first
-# reuses one compiled program.
-_cpd_register_jit = jax.jit(
-    cpd_register,
-    static_argnames=(
-        "eps", "weight", "const_scale", "tolerance",
-        "approximation_type", "ratio_of_far_field",
-        "order_of_truncation", "use_fgt", "fgt_k", "verbose",
-        "record_history", "history_length", "use_pallas",
-        "centroid_init",
-    ),
-)
+@jax.jit
+def _morton_sort_cloud(cloud: Cloud) -> Cloud:
+    """Morton-sort a padded cloud once (invalid rows last, so the
+    returned Cloud's ``mask()`` stays valid) — the chunked driver's
+    per-dispatch hoist of cpd_register's in-program sort."""
+    from tpuslam.ops.spatial import morton_permutation
+
+    perm = morton_permutation(cloud.points, cloud.mask())
+    return Cloud(points=cloud.points[perm], count=cloud.count)
 
 
 def cpd_register_chunked(
@@ -898,9 +895,17 @@ def cpd_register_chunked(
                 iterations=jnp.int32(total),
                 error=jnp.asarray(resume.sigma2, jnp.float32),
             )
+    # Pre-sort ONCE for every chunk (fingerprints above already bound to
+    # the caller's row order; the EM result is row-order invariant and
+    # CPDResume carries no per-row state, so sorting here is transparent)
+    if kwargs.get("use_pallas") if kwargs.get("use_pallas") is not None \
+            else jax.default_backend() == "tpu":
+        before = _morton_sort_cloud(before)
+        after = _morton_sort_cloud(after)
+        kwargs = dict(kwargs, assume_sorted=True)
     while True:
         k = min(chunk, max_iterations - total)
-        result = _cpd_register_jit(
+        result = cpd_register(
             before, after, max_iterations=k, resume=resume, **kwargs
         )
         did = int(result.iterations)

@@ -228,10 +228,7 @@ def _run_cpd(
 
     import jax
 
-    from tpuslam.algorithms.cpd import (
-        _cpd_register_jit,
-        cpd_register_chunked,
-    )
+    from tpuslam.algorithms.cpd import cpd_register, cpd_register_chunked
 
     max_iterations = (
         int(config.max_iterations) if config.max_iterations is not None else -1
@@ -264,11 +261,7 @@ def _run_cpd(
             **common,
         )
     else:
-        # one program per registration (eager cpd_register is dozens of
-        # relayed dispatches; see _cpd_register_jit's rationale)
-        result = _cpd_register_jit(
-            pad_cloud(before), pad_cloud(after), **common
-        )
+        result = cpd_register(pad_cloud(before), pad_cloud(after), **common)
     # the reference returns (scale * R, t) (coherentpointdrift.cpp:123)
     rotation = np.asarray(result.transform.scale) * np.asarray(
         result.transform.rotation
