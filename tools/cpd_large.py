@@ -63,6 +63,15 @@ def main() -> None:
     results = {"size": size}
     rng = np.random.Generator(np.random.PCG64(666))
     pts = load_cloud(f"synthetic://{size}").astype(np.float32)
+    # the reference's published protocol normalizes every cloud to
+    # spread 10 BEFORE transforming (documentation.tex:397,
+    # common.cpp:81-95) — without it the translation below is ~20x the
+    # cloud extent and the Hybrid ladder's FGT fast phase never fires
+    # (sigma^2 collapses under the switch after one centroid-aligning
+    # iteration; tools/probe_hybrid_traj.py)
+    from tpuslam.data.synthesis import normalize_cloud
+
+    pts = normalize_cloud(pts.astype(np.float64), 10.0).astype(np.float32)
     cm, cn = pad_cloud(pts), pad_cloud(pts)
     mm = (jnp.arange(cm.points.shape[0]) < cm.count).astype(jnp.float32)
     nm = (jnp.arange(cn.points.shape[0]) < cn.count).astype(jnp.float32)
@@ -175,6 +184,9 @@ def main() -> None:
     gt_mse = float(np.mean(np.sum((pts_t @ rot.T + tr - target) ** 2, -1)))
     results["hybrid_15iter_wall_s"] = round(wall, 1)
     results["hybrid_15iter_gt_mse"] = round(gt_mse, 5)
+    # scale-free accuracy: gt-MSE relative to the squared cloud spread
+    # (the cloud is normalized to spread 10, so /100)
+    results["hybrid_15iter_gt_mse_rel_spread2"] = round(gt_mse / 100.0, 9)
     results["hybrid_15iter_iterations"] = int(res.iterations)
     print(
         f"hybrid 15-iter run: {wall:.1f} s wall, gt-MSE {gt_mse:.5f}, "
