@@ -261,6 +261,23 @@ def test_centroid_init_noop_when_centroids_match(rng):
     assert int(res_a.iterations) == int(res_b.iterations)
 
 
+def test_cpd_chunk_size_fgt_budget():
+    """At/past the FGT crossover the fast phase is ~3.8x cheaper per
+    iteration, so the pairs-based dispatch budget is 4x larger — a
+    pairs-exact budget would dispatch 1-2 iterations at mustang scale
+    and pay ~0.5 s of relayed latency per EM iteration."""
+    from tpuslam.algorithms.registry import cpd_chunk_size
+
+    n = 376_401
+    exact = cpd_chunk_size(n, n, 15, "tpu")
+    fgt = cpd_chunk_size(n, n, 15, "tpu", fgt_fast_phase=True)
+    assert exact == 1
+    assert fgt == 5  # 8e11 // (376401^2)
+    # env override still wins; CPU still never chunks
+    assert cpd_chunk_size(n, n, 15, "tpu", "3", fgt_fast_phase=True) == 3
+    assert cpd_chunk_size(n, n, 15, "cpu", fgt_fast_phase=True) == 0
+
+
 def test_chunked_presorted_matches_unchunked(rng):
     """With the pallas path on, the chunked driver Morton-sorts ONCE
     and dispatches chunks with assume_sorted=True (a TPU argsort at

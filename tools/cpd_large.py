@@ -163,12 +163,14 @@ def main() -> None:
         weight=0.1, const_scale=True, tolerance=1e-4,
         approximation_type=ApproximationType.Hybrid,
     )
-    # warm up compilation: max_iterations is traced, so a 4-iteration
-    # call at chunk=3 compiles BOTH programs the timed run uses (the
-    # cold-start trace and the resumed-chunk trace); chunk=3 keeps each
-    # dispatch ~3 E-steps, well under a minute
-    common["chunk"] = 3
-    float(cpd_register(cb, ca, max_iterations=4, **common).error)
+    # warm up compilation: max_iterations is traced, so a 9-iteration
+    # call at chunk=8 compiles BOTH programs the timed run uses (the
+    # cold-start trace at k=8 and the resumed-chunk trace at k=1); with
+    # the FGT fast phase at ~0.3 s/iter a chunk of 8 keeps each dispatch
+    # a few seconds while paying the ~0.5 s relayed dispatch latency 2x
+    # instead of 5x (tools/probe_fgt_sweep.py)
+    common["chunk"] = 8
+    float(cpd_register(cb, ca, max_iterations=9, **common).error)
     # perturb the timed input (f32-surviving) so a relayed backend
     # cannot serve the warmed dispatch from its dedup cache
     cb_t = pad_cloud((pts * (1.0 + 1e-5)).astype(np.float32))

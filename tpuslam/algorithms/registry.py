@@ -15,7 +15,11 @@ from typing import Callable, Dict, Tuple
 
 import numpy as np
 
-from tpuslam.config.configuration import ComputationMethod, Configuration
+from tpuslam.config.configuration import (
+    ApproximationType,
+    ComputationMethod,
+    Configuration,
+)
 from tpuslam.core.types import pad_cloud
 
 # (rotation f32[3,3], translation f32[3], iterations, error)
@@ -83,7 +87,7 @@ def icp_chunk_size(
 
 def cpd_chunk_size(
     n_max: int, m_max: int, max_iterations: int, backend: str,
-    chunk_env=None,
+    chunk_env=None, fgt_fast_phase: bool = False,
 ) -> int:
     """EM iterations per dispatch for chunked CPD (0 = whole loop).
 
@@ -93,7 +97,14 @@ def cpd_chunk_size(
     at the measured 43.4 Gpairs/s E-step rate, ``bench_report.json``),
     and chunking triggers at 5 dispatches' worth of total work.  CPD's
     ``max_iterations = -1`` runs ZERO iterations (reference quirk,
-    ``coherentpointdrift.cpp:104``) and is never chunked."""
+    ``coherentpointdrift.cpp:104``) and is never chunked.
+
+    ``fgt_fast_phase``: at or past the FGT size crossover the Full/
+    Hybrid fast phase runs the device FGT, ~3.8x cheaper per iteration
+    than the exact kernel (bench_results/cpd_large.json) and O(N+M)
+    besides — budget each dispatch 4x more iterations, since a
+    pairs-exact budget of 1-2 iterations/dispatch would pay ~0.5 s of
+    relayed dispatch latency per EM iteration at mustang scale."""
     if chunk_env is not None:
         try:
             return max(0, int(chunk_env))
@@ -105,7 +116,8 @@ def cpd_chunk_size(
     if backend != "tpu" or max_iterations <= 0:
         return 0
     pairs = max(n_max, 1) * max(m_max, 1)
-    per_dispatch = max(1, min(50, int(2e11 // pairs)))
+    budget = 8e11 if fgt_fast_phase else 2e11
+    per_dispatch = max(1, min(50, int(budget // pairs)))
     if pairs * max_iterations >= 5 * 2e11:
         return per_dispatch
     return 0
@@ -247,9 +259,19 @@ def _run_cpd(
     )
     # bound single-dispatch device time at large sizes (pairs-based
     # gate — one mustang-scale E-step is already seconds)
+    from tpuslam.algorithms.cpd import resolve_use_fgt
+    from tpuslam.core.types import round_up
+
+    fgt_fast = config.approximation_type in (
+        ApproximationType.Full, ApproximationType.Hybrid,
+    ) and resolve_use_fgt(
+        config.cpd_use_fgt, config.approximation_type,
+        round_up(before.shape[0], 128), round_up(after.shape[0], 128),
+    )
     chunk = cpd_chunk_size(
         before.shape[0], after.shape[0], max_iterations,
         jax.default_backend(), os.environ.get("TPUSLAM_CPD_CHUNK"),
+        fgt_fast_phase=fgt_fast,
     )
     # setting TPUSLAM_CPD_CKPT forces the chunked driver (same contract
     # as TPUSLAM_ICP_CKPT: the chunk boundary is the durable unit)
