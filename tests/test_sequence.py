@@ -84,3 +84,47 @@ def test_register_sequence_mixed_sizes(rng):
 def test_register_sequence_needs_two(rng):
     with pytest.raises(ValueError):
         register_sequence([np.zeros((10, 3), np.float32)])
+
+
+def test_seeded_accuracy_matches_unseeded(rng):
+    """Patience semantics for seeded pairs: a warm start must not LOSE
+    accuracy.  Before the patience fix the reference divergence guard
+    fired on near-optimum error fluctuation after ~2 iterations and
+    returned seed quality (trajectory drift 6x worse at 20x100k,
+    tools/probe_seq_seed.py)."""
+    scans, poses = _make_trajectory(rng, n_scans=6)
+    seeded = register_sequence(scans, max_iterations=60,
+                               max_distance_squared=1e6)
+    cold = register_sequence(scans, max_iterations=60,
+                             seed_with_previous=False,
+                             max_distance_squared=1e6)
+    for k, (true_r, true_t) in enumerate(poses):
+        dev_s, terr_s = _pose_error(
+            seeded.absolute[k].rotation, seeded.absolute[k].translation,
+            true_r, true_t,
+        )
+        dev_c, terr_c = _pose_error(
+            cold.absolute[k].rotation, cold.absolute[k].translation,
+            true_r, true_t,
+        )
+        # seeded pose error within 2x of cold (same basin, both tight)
+        assert dev_s <= max(2.0 * dev_c, 0.5), (k, dev_s, dev_c)
+        assert terr_s <= max(2.0 * terr_c, 0.05), (k, terr_s, terr_c)
+
+
+def test_icp_patience_returns_best_state(rng):
+    """patience>0 keeps the best-so-far transform: running MORE
+    iterations past convergence never degrades the returned error."""
+    from tpuslam.algorithms.icp import icp_register
+    from tpuslam.core.types import pad_cloud
+    from tpuslam.data.synthesis import get_random_rotation_matrix
+
+    base = (rng.random((800, 3), np.float64) * 4).astype(np.float32)
+    r = get_random_rotation_matrix(rng, 0.1)
+    after = (base @ r.T + 0.3).astype(np.float32)
+    ref = icp_register(pad_cloud(base), pad_cloud(after),
+                       max_iterations=40, max_distance_squared=1e6)
+    pat = icp_register(pad_cloud(base), pad_cloud(after),
+                       max_iterations=40, max_distance_squared=1e6,
+                       divergence_guard=False, patience=3)
+    assert float(pat.error) <= float(ref.error) * 1.01 + 1e-8

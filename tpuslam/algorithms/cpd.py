@@ -64,6 +64,7 @@ import jax.numpy as jnp
 from tpuslam.algorithms.icp import RegistrationResult
 from tpuslam.config.configuration import ApproximationType
 from tpuslam.core.types import Cloud, RigidTransform, pick_block
+from tpuslam.ops.geometry import transform_points
 
 _TWO_PI = 2.0 * math.pi
 
@@ -353,11 +354,11 @@ def mstep_from_moments(
     arrays) and the sharded M-step (from psum'd partial moments)."""
     inv_np = 1.0 / np_
     u, sv, vt = jnp.linalg.svd(a_mat, full_matrices=False)
-    det_uv = jnp.linalg.det(u @ vt)
+    det_uv = jnp.linalg.det(jnp.matmul(u, vt, precision=jax.lax.Precision.HIGHEST))
     d = jnp.array([1.0, 1.0, 0.0], a_mat.dtype) + jnp.array(
         [0.0, 0.0, 1.0], a_mat.dtype
     ) * det_uv
-    r = (u * d[None, :]) @ vt
+    r = jnp.matmul(u * d[None, :], vt, precision=jax.lax.Precision.HIGHEST)
     # tr(S diag(1,1,det(UV^T)))  (coherentpointdrift.cpp:258-260)
     scale_num = sv[0] + sv[1] + det_uv * sv[2]
 
@@ -370,7 +371,7 @@ def mstep_from_moments(
         scale = scale_num / scale_den
         sigma2 = inv_np * jnp.abs(sigma_sub - scale * scale_num) / 3.0
 
-    t = mu_a - scale * (r @ mu_b)
+    t = mu_a - scale * jnp.matmul(r, mu_b, precision=jax.lax.Precision.HIGHEST)
     return MStepResult(rotation=r, translation=t, scale=scale, sigma2=sigma2)
 
 
@@ -590,7 +591,9 @@ def cpd_register(
         return wrapped
 
     def _body(s: CPDState, fast_phase: bool = False) -> CPDState:
-        transformed = s.scale * (moving @ s.rotation.T) + s.translation
+        transformed = transform_points(
+            moving, s.rotation, s.translation, s.scale
+        )
 
         if approximation_type == ApproximationType.NONE:
             stats = cpd_estep_auto(

@@ -45,6 +45,7 @@ from tpuslam.algorithms.icp import RegistrationResult
 from tpuslam.config.configuration import ApproximationType
 from tpuslam.core.types import LANE, Cloud, RigidTransform, round_up
 from tpuslam.ops.nn import nearest_neighbors
+from tpuslam.ops.geometry import transform_points
 
 BIG = jnp.float32(3.4e38)
 # the reference's fixed NN acceptance radius for exact rescoring
@@ -198,7 +199,10 @@ def _approximated_errors(
     n_pairs = jnp.maximum(jnp.sum(pair_mask), 1.0)
 
     def one(r):
-        diff = (centered_before @ r.T - centered_after) * pair_mask[:, None]
+        diff = (
+            transform_points(centered_before, r, jnp.zeros(3, r.dtype))
+            - centered_after
+        ) * pair_mask[:, None]
         return jnp.sum(diff * diff) / n_pairs
 
     return jax.vmap(one)(cands.rotations)
@@ -411,7 +415,7 @@ def nicp_register(
         # residual translation/off-axis error without the stall above
         def polish_step(carry, _):
             rot, tr = carry
-            moved = subcloud @ rot.T + tr
+            moved = transform_points(subcloud, rot, tr)
             idx, dist = nearest_neighbors(
                 moved, after.points, after.count, use_pallas=use_pallas
             )

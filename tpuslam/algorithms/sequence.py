@@ -10,8 +10,12 @@ SEQUENCE of scans, each close to its predecessor.  Two lowerings:
   relative transform through the ``ICPResume`` carry (constant-velocity
   prior — scan k+1 tends to continue scan k's motion).  All pairs share
   one padded shape, so the whole stream reuses a single compiled
-  program; the seed drops the large-motion dense/coarse NN iterations,
-  which is most of a short registration's cost.
+  program; the seed removes the large-motion iterations entirely —
+  measured on the chip at 20 scans x 100k: 1.0 mean ICP iterations/pair
+  seeded vs 9.7 unseeded, with BETTER trajectory drift (RMS 0.0026 vs
+  0.0043 over 19 steps of ~0.5-unit motion), wall 1.07x (per-pair
+  dispatch latency, not iterations, bounds the wall at this scale)
+  (``bench_results/sequence_100k.json``, ``tools/sequence_bench.py``).
 * **batched**: all pairs in one ``icp_register_batch`` program (vmapped
   or unrolled by the measured crossover).  No cross-pair seeding — use
   when throughput beats per-pair latency and motion is small.
@@ -107,26 +111,40 @@ def register_sequence(
         errs = np.asarray(out.error)
     else:
         rels, iters_l, errs_l = [], [], []
-        prev_rel: Optional[RigidTransform] = None
+        prev_dev = None  # previous pair's (rotation, translation), ON DEVICE
         for k in range(len(arrs) - 1):
             resume = None
-            if seed_with_previous and prev_rel is not None:
+            if seed_with_previous and prev_dev is not None:
                 # constant-velocity prior: start from the previous
-                # pair's relative motion; the guard seed stays a cold
-                # start so a bad prior is simply corrected, not trusted
+                # pair's relative motion, handed over as the previous
+                # result's DEVICE arrays (a host round-trip per pair
+                # costs ~0.5 s through a relayed backend)
                 resume = ICPResume(
-                    rotation=jnp.asarray(prev_rel.rotation),
-                    translation=jnp.asarray(prev_rel.translation),
+                    rotation=prev_dev[0],
+                    translation=prev_dev[1],
                     error=jnp.float32(1e5),
                     nn=None,
                     done_before=jnp.int32(0),
                     prev_error=jnp.float32(FLT_MAX),
                 )
+            # seeded pairs replace the reference's stop-on-first-error-
+            # increase guard with patience=8 best-so-far semantics: a
+            # warm start sits immediately in the near-optimum regime
+            # where the correspondence error fluctuates, so the guard
+            # fires on noise after ~2 iterations and returns seed
+            # quality (measured drift RMS 3.1 vs 0.50 unseeded at
+            # 20x100k, tools/probe_seq_seed.py); an estimated seed can
+            # also plateau for several iterations before descending
+            # further, so patience must ride out the plateau (patience=3
+            # still lost 2x per-pair accuracy; 8 costs ~40 ms of extra
+            # iterations at 100k against ~1 unit of trajectory drift)
             r = icp_register(
                 padded[k], padded[k + 1], eps=eps,
                 max_distance_squared=max_distance_squared,
                 max_iterations=max_iterations, use_spatial=use_spatial,
                 resume=resume,
+                divergence_guard=resume is None,
+                patience=0 if resume is None else 8,
             )
             rel = RigidTransform(
                 rotation=np.asarray(r.transform.rotation),
@@ -134,7 +152,7 @@ def register_sequence(
                 scale=np.float32(1.0),
             )
             rels.append(rel)
-            prev_rel = rel
+            prev_dev = (r.transform.rotation, r.transform.translation)
             iters_l.append(int(r.iterations))
             errs_l.append(float(r.error))
         iters = np.asarray(iters_l, np.int32)

@@ -41,7 +41,13 @@ class RigidTransform(NamedTuple):
 
     def apply(self, points: jnp.ndarray) -> jnp.ndarray:
         """Transform ``f32[..., 3]`` points: ``scale * (R @ p) + t``."""
-        return self.scale * (points @ self.rotation.T) + self.translation
+        from tpuslam.ops.geometry import transform_points
+
+        # exact-f32 application (see transform_points: the default
+        # bf16 matmul path measurably biases registration optima)
+        return transform_points(
+            points, self.rotation, self.translation, self.scale
+        )
 
     def compose(self, other: "RigidTransform") -> "RigidTransform":
         """Return ``self ∘ other`` (apply ``other`` first, then ``self``).

@@ -41,8 +41,33 @@ def transform_points(
     translation: jnp.ndarray,
     scale=1.0,
 ) -> jnp.ndarray:
-    """``p -> scale * (R @ p) + t`` (``common.cpp:39-55``)."""
-    return scale * (points @ rotation.T) + translation
+    """``p -> scale * (R @ p) + t`` (``common.cpp:39-55``).
+
+    Exact f32 by construction: a ``[N,3] @ [3,3]`` matmul at default
+    precision takes the TPU's bf16 MXU path (~2^-8 relative coordinate
+    error — ~0.04 units at spread 10), which measurably biased every
+    registration's optimum (~0.01-0.04 translation error per pair,
+    6x trajectory drift in sequence odometry; tools/probe_seq_seed.py
+    --dense).  The per-coordinate FMA form runs exact f32 on the VPU
+    and fuses into the downstream kernels."""
+    x = points[..., 0]
+    y = points[..., 1]
+    z = points[..., 2]
+
+    def entry(r, c):
+        # trailing length-1 axis so explicitly-batched rotations
+        # broadcast against the points' row axis
+        return rotation[..., r, c][..., None]
+
+    out = jnp.stack(
+        [
+            x * entry(0, 0) + y * entry(0, 1) + z * entry(0, 2),
+            x * entry(1, 0) + y * entry(1, 1) + z * entry(1, 2),
+            x * entry(2, 0) + y * entry(2, 1) + z * entry(2, 2),
+        ],
+        axis=-1,
+    )
+    return scale * out + translation
 
 
 def squared_distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

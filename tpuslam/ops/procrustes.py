@@ -26,11 +26,11 @@ def svd_rotation(h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     maps ``b`` (before) onto ``a`` (after): ``a ≈ R @ b``.
     """
     u, s, vt = jnp.linalg.svd(h, full_matrices=False)
-    det = jnp.linalg.det(u @ vt)
+    det = jnp.linalg.det(jnp.matmul(u, vt, precision=jax.lax.Precision.HIGHEST))
     d = jnp.array([1.0, 1.0, 0.0], dtype=h.dtype) + jnp.array(
         [0.0, 0.0, 1.0], dtype=h.dtype
     ) * det
-    r = (u * d[None, :]) @ vt
+    r = jnp.matmul(u * d[None, :], vt, precision=jax.lax.Precision.HIGHEST)
     return r, s
 
 
@@ -60,5 +60,5 @@ def weighted_procrustes(
         "n,nr,nc->rc", w, ac, bc, precision=jax.lax.Precision.HIGHEST
     )
     r, _ = svd_rotation(h)
-    t = mu_a - r @ mu_b
+    t = mu_a - jnp.matmul(r, mu_b, precision=jax.lax.Precision.HIGHEST)
     return r, t

@@ -33,6 +33,7 @@ from tpuslam.algorithms.icp import RegistrationResult
 from tpuslam.config.configuration import ApproximationType
 from tpuslam.core.types import Cloud, RigidTransform
 from tpuslam.parallel.mesh import POINTS_AXIS
+from tpuslam.ops.geometry import transform_points
 
 
 @lru_cache(maxsize=16)
@@ -174,7 +175,9 @@ def _build(mesh: Mesh, const_scale: bool,
             )
 
         def body(s: CPDState) -> CPDState:
-            transformed = s.scale * (moving @ s.rotation.T) + s.translation
+            transformed = transform_points(
+                moving, s.rotation, s.translation, s.scale
+            )
 
             if approximation_type == ApproximationType.NONE:
                 p1, px, err, t_pt1_a2, s_pt1_a = estep_psum(

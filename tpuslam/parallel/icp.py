@@ -22,6 +22,7 @@ from tpuslam.core.types import Cloud, RigidTransform
 from tpuslam.ops.procrustes import weighted_procrustes
 from tpuslam.parallel.mesh import POINTS_AXIS
 from tpuslam.parallel.nn import sharded_nn_combine
+from tpuslam.ops.geometry import transform_points
 
 
 @lru_cache(maxsize=16)
@@ -93,7 +94,9 @@ def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
             )
 
         def body(s: ICPState) -> ICPState:
-            transformed = before_pts @ s.rotation.T + s.translation
+            transformed = transform_points(
+                before_pts, s.rotation, s.translation
+            )
             dist, matched, nn_state = run_nn(transformed, s.nn)
             w = jnp.logical_and(dist < max_d2, src_mask > 0).astype(
                 jnp.float32
@@ -102,10 +105,12 @@ def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
             no_corr = n_corr == 0
 
             r_step, t_step = weighted_procrustes(transformed, matched, w)
-            r_new = r_step @ s.rotation
-            t_new = r_step @ s.translation + t_step
+            r_new = jnp.matmul(r_step, s.rotation, precision=jax.lax.Precision.HIGHEST)
+            t_new = jnp.matmul(
+                r_step, s.translation, precision=jax.lax.Precision.HIGHEST
+            ) + t_step
 
-            new_transformed = before_pts @ r_new.T + t_new
+            new_transformed = transform_points(before_pts, r_new, t_new)
             diff = matched - new_transformed
             err = jnp.sum(jnp.sum(diff * diff, -1) * w) / jnp.maximum(
                 n_corr, 1.0

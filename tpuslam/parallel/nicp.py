@@ -28,6 +28,7 @@ from tpuslam.algorithms.nicp import (
 from tpuslam.core.types import Cloud, RigidTransform
 from tpuslam.parallel.mesh import POINTS_AXIS
 from tpuslam.parallel.nn import sharded_nn_combine
+from tpuslam.ops.geometry import transform_points
 
 BIG = jnp.float32(3.4e38)
 
@@ -73,7 +74,7 @@ def _build(mesh: Mesh):
         sub_mask = mask_b[sub_idx]
 
         def exact_error(r, t):
-            transformed = subcloud @ r.T + t
+            transformed = transform_points(subcloud, r, t)
             _, dist, _ = sharded_nn_combine(
                 transformed, tgt_shard, tgt_count, axis
             )
