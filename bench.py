@@ -9,9 +9,14 @@ BASELINE.md), i.e. 10 iterations/sec.  ``vs_baseline`` is the speedup
 ratio over that.
 
 Protocol mirrors the reference benchmark settings (spread 10, rotation
-0.2 rad, translation 10 — documentation.tex:397) on a synthetic uniform
-cloud (the reference's >35k-point models are missing blobs, BASELINE.md;
-synthetic scaling is documented there).  Timing includes the full
+0.2 rad, translation 10 — documentation.tex:397) on the model-substitute
+cloud (``synthetic://`` tiled bunny, normalized to spread 10 — the
+reference's >35k-point models are missing blobs, BASELINE.md; synthetic
+scaling is documented there, and every other recorded ladder uses the
+same substitute).  Real scans are spatially coherent, which is the
+hierarchical NN's actual workload; `bench_report.json` keeps a separate
+uniform-box row (`icp_iter_100k_hier_uniform_ms`) as the structure-free
+worst case.  Timing includes the full
 per-iteration pipeline: Pallas NN kernel (or jnp fallback off-TPU),
 weighted Procrustes with 3x3 SVD, transform and error — the same work the
 reference times per iteration, minus its 4+ host round-trips.
@@ -125,15 +130,17 @@ def main() -> None:
 
     from tpuslam.algorithms.icp import icp_register
     from tpuslam.core.types import pad_cloud
+    from tpuslam.data.loader import load_cloud
     from tpuslam.data.synthesis import (
         get_random_rotation_matrix,
         get_random_translation_vector,
+        normalize_cloud,
     )
 
     rng = np.random.Generator(np.random.PCG64(666))
-    before = (rng.random((N_POINTS, 3), dtype=np.float64) * 10.0).astype(
-        np.float32
-    )
+    before = normalize_cloud(
+        load_cloud(f"synthetic://{N_POINTS}").astype(np.float64), 10.0
+    ).astype(np.float32)
     r = get_random_rotation_matrix(rng, 0.2)
     t = get_random_translation_vector(rng, 10.0)
     after = (before @ r.T + t)[rng.permutation(N_POINTS)].astype(np.float32)

@@ -120,14 +120,32 @@ def main():
         {ComputationMethod.Icp: SIZES[ComputationMethod.Icp]}
         if prealign else SIZES
     )
+    # TPUSLAM_CONV_METHODS=icp,cpd: re-run a subset of the grid
+    methods_env = os.environ.get("TPUSLAM_CONV_METHODS")
+    if methods_env:
+        wanted = {m.strip() for m in methods_env.split(",")}
+        sizes_by_method = {
+            m: s for m, s in sizes_by_method.items() if m.value in wanted
+        }
     suffix = "_prealign" if prealign else ""
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_results", f"convergence{suffix}.jsonl",
     )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # a subset re-run keeps the other methods' recorded rows
+    kept = []
+    if methods_env and os.path.exists(out_path):
+        rerun = {m.value for m in sizes_by_method}
+        with open(out_path) as fh:
+            kept = [
+                json.loads(line) for line in fh
+                if json.loads(line).get("method") not in rerun
+            ]
     rows = []
     with open(out_path, "w") as fh:
+        for row in kept:
+            fh.write(json.dumps(row) + "\n")
         for method, sizes in sizes_by_method.items():
             for size in sizes:
                 for rot, trans in COMBOS:
@@ -146,11 +164,12 @@ def main():
                             flush=True,
                         )
 
+    all_rows = kept + rows
     lines = ["=== convergence rates ==="]
-    for method in sizes_by_method:
-        mrows = [r for r in rows if r["method"] == method.value]
+    for method_name in dict.fromkeys(r["method"] for r in all_rows):
+        mrows = [r for r in all_rows if r["method"] == method_name]
         total = sum(r["converged"] for r in mrows) / len(mrows)
-        lines.append(f"{method.value}: overall {total:.2f}")
+        lines.append(f"{method_name}: overall {total:.2f}")
         for rot, trans in COMBOS:
             sub = [
                 r for r in mrows
@@ -158,7 +177,7 @@ def main():
             ]
             rate = sum(r["converged"] for r in sub) / len(sub)
             lines.append(f"  rot={rot} trans={trans}: {rate:.2f}")
-        for size in sizes_by_method[method]:
+        for size in dict.fromkeys(r["size"] for r in mrows):
             sub = [r for r in mrows if r["size"] == size]
             rate = sum(r["converged"] for r in sub) / len(sub)
             lines.append(f"  size={size}: {rate:.2f}")

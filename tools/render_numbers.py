@@ -43,7 +43,9 @@ def artifacts():
 
 
 def fmt(x, nd=1):
-    return f"{x:.{nd}f}".rstrip("0").rstrip(".")
+    s = f"{x:.{nd}f}"
+    # strip only a fractional tail — "290" must stay "290"
+    return s.rstrip("0").rstrip(".") if "." in s else s
 
 
 def readme_table(a):
