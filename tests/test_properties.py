@@ -186,3 +186,44 @@ def test_serve_never_dies(request_dict):
     assert isinstance(resp["ok"], bool)
     if not resp["ok"]:
         assert resp["error"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(points_strategy(24), st.integers(0, 2**31 - 1))
+def test_transform_points_matches_f64_oracle(points, seed):
+    """transform_points (the per-coordinate FMA form that stays exact
+    f32 on the TPU VPU — the [N,3]@[3,3] matmul form falls onto the
+    bf16 MXU there) must agree with a float64 matmul oracle to f32
+    roundoff for ANY rotation/translation/scale, in both the plain and
+    the explicitly-batched-rotation broadcast layouts."""
+    from tpuslam.data.synthesis import (
+        get_random_rotation_matrix,
+        get_random_translation_vector,
+    )
+    from tpuslam.ops.geometry import transform_points
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    r = get_random_rotation_matrix(rng, rng.random() * np.pi)
+    t = get_random_translation_vector(rng, rng.random() * 30.0)
+    s = np.float32(0.25 + rng.random() * 4.0)
+
+    oracle = (
+        s * (points.astype(np.float64) @ np.asarray(r, np.float64).T)
+        + np.asarray(t, np.float64)
+    )
+    # worst-case f32 error of the FMA form: a few ulps of the result
+    # magnitude per coordinate
+    tol = 1e-5 * max(1.0, float(np.abs(oracle).max()))
+
+    got = np.asarray(transform_points(jnp.asarray(points), r, t, s))
+    np.testing.assert_allclose(got, oracle, atol=tol, rtol=0)
+
+    # batched layout: rotation f32[B,3,3] against points f32[B,N,3]
+    bp = np.stack([points, points[::-1]])
+    br = np.stack([np.asarray(r, np.float32)] * 2)
+    bt = np.stack([np.asarray(t, np.float32)] * 2)
+    got_b = np.asarray(
+        transform_points(jnp.asarray(bp), br, bt[:, None, :], s)
+    )
+    np.testing.assert_allclose(got_b[0], oracle, atol=tol, rtol=0)
+    np.testing.assert_allclose(got_b[1], oracle[::-1], atol=tol, rtol=0)
