@@ -38,7 +38,8 @@ def artifacts():
     br = _load("bench_report.json")
     cl = _load("bench_results/cpd_large.json")
     seq = _load("bench_results/sequence_100k.json")
-    a = {"br": br, "cl": cl, "seq": seq}
+    bp = _load("bench_results/batch_parity.json")
+    a = {"br": br, "cl": cl, "seq": seq, "bp": bp}
     return a
 
 
@@ -46,6 +47,14 @@ def fmt(x, nd=1):
     s = f"{x:.{nd}f}"
     # strip only a fractional tail — "290" must stay "290"
     return s.rstrip("0").rstrip(".") if "." in s else s
+
+
+def batch_latency_gain(a):
+    """16 synced solo calls vs one fused batch (batch_parity.json)."""
+    bp = a["bp"]
+    if not bp:
+        return 0.0
+    return bp["pairs"] * bp["solo_one_mean_s"] / bp["batch_mean_s"]
 
 
 def readme_table(a):
@@ -83,8 +92,10 @@ def readme_table(a):
          "(inside the <100 ms/iter above)", "—"),
         ("Batched multi-pair ICP, 16 pairs x 16k (fixed 20 iters)",
          f"{fmt(br['batch_16x16k_pairs_per_sec'], 0)} pairs/s in one fused "
-         f"program ({fmt(br['batch_vs_solo_speedup'], 2)}x vs sequential "
-         f"solo runs — an API/latency feature at this size, see DESIGN.md)",
+         f"program ({fmt(br['batch_vs_solo_speedup'], 2)}x vs PIPELINED "
+         f"solo runs, the measured throughput ceiling at a "
+         f"chip-saturating size; {fmt(batch_latency_gain(a), 1)}x vs "
+         f"per-result-synced solo calls — see DESIGN.md)",
          "(no multi-pair mode)", "—"),
         ("Batched multi-pair ICP, 16 pairs x 2k (dispatch-bound regime)",
          f"{fmt(br['batch_16x2k_pairs_per_sec'], 0)} pairs/s (vmapped "
