@@ -138,10 +138,8 @@ def main():
     if methods_env and os.path.exists(out_path):
         rerun = {m.value for m in sizes_by_method}
         with open(out_path) as fh:
-            kept = [
-                json.loads(line) for line in fh
-                if json.loads(line).get("method") not in rerun
-            ]
+            rows_prev = [json.loads(line) for line in fh]
+        kept = [r for r in rows_prev if r.get("method") not in rerun]
     rows = []
     with open(out_path, "w") as fh:
         for row in kept:

@@ -258,15 +258,18 @@ def _run_cpd(
         centroid_init=config.cpd_centroid_init,
     )
     # bound single-dispatch device time at large sizes (pairs-based
-    # gate — one mustang-scale E-step is already seconds)
+    # gate — one mustang-scale E-step is already seconds).  The gate's
+    # FGT arm must match the arm cpd_register will actually resolve, so
+    # derive it from the SAME padded arrays that are passed down rather
+    # than re-deriving the padding independently.
     from tpuslam.algorithms.cpd import resolve_use_fgt
-    from tpuslam.core.types import round_up
 
+    padded_before, padded_after = pad_cloud(before), pad_cloud(after)
     fgt_fast = config.approximation_type in (
         ApproximationType.Full, ApproximationType.Hybrid,
     ) and resolve_use_fgt(
         config.cpd_use_fgt, config.approximation_type,
-        round_up(before.shape[0], 128), round_up(after.shape[0], 128),
+        padded_before.points.shape[0], padded_after.points.shape[0],
     )
     chunk = cpd_chunk_size(
         before.shape[0], after.shape[0], max_iterations,
@@ -278,12 +281,12 @@ def _run_cpd(
     ckpt = os.environ.get("TPUSLAM_CPD_CKPT")
     if chunk or ckpt:
         result = cpd_register_chunked(
-            pad_cloud(before), pad_cloud(after), chunk=chunk or 10,
+            padded_before, padded_after, chunk=chunk or 10,
             checkpoint_path=ckpt,
             **common,
         )
     else:
-        result = cpd_register(pad_cloud(before), pad_cloud(after), **common)
+        result = cpd_register(padded_before, padded_after, **common)
     # the reference returns (scale * R, t) (coherentpointdrift.cpp:123)
     rotation = np.asarray(result.transform.scale) * np.asarray(
         result.transform.rotation
