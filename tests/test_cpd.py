@@ -262,17 +262,20 @@ def test_centroid_init_noop_when_centroids_match(rng):
 
 
 def test_cpd_chunk_size_fgt_budget():
-    """At/past the FGT crossover the fast phase is ~3.8x cheaper per
-    iteration, so the pairs-based dispatch budget is 4x larger — a
-    pairs-exact budget would dispatch 1-2 iterations at mustang scale
-    and pay ~0.5 s of relayed latency per EM iteration."""
+    """Per-phase dispatch sizing: the device FGT is O(N+M) at a
+    measured ~0.4 us/point, so FGT dispatches are sized at ~6 s of
+    device time (~19 iterations at mustang scale), while exact-kernel
+    dispatches keep the O(N*M) pairs budget (1 iteration there) — a
+    single size either starves the fast phase on dispatch latency or
+    lets a Hybrid slow-phase dispatch overrun the device-time bound
+    (ADVICE r4)."""
     from tpuslam.algorithms.registry import cpd_chunk_size
 
     n = 376_401
     exact = cpd_chunk_size(n, n, 15, "tpu")
     fgt = cpd_chunk_size(n, n, 15, "tpu", fgt_fast_phase=True)
     assert exact == 1
-    assert fgt == 5  # 8e11 // (376401^2)
+    assert fgt == 19  # 6 s / (752802 points * 0.4 us/point)
     # env override still wins; CPU still never chunks
     assert cpd_chunk_size(n, n, 15, "tpu", "3", fgt_fast_phase=True) == 3
     assert cpd_chunk_size(n, n, 15, "cpu", fgt_fast_phase=True) == 0
@@ -302,6 +305,36 @@ def test_chunked_presorted_matches_unchunked(rng):
     np.testing.assert_array_equal(
         np.asarray(parts.error), np.asarray(whole.error)
     )
+
+
+def test_chunked_phase_split_matches_unchunked(rng):
+    """Hybrid-with-FGT per-phase dispatch sizing (``chunk_fast`` for the
+    FGT fast phase, ``chunk`` for the exact slow phase): the trajectory
+    must stay bit-identical to the single-dispatch run whatever the two
+    sizes are — the phase test only re-sizes dispatches."""
+    from tpuslam.algorithms.cpd import cpd_register_chunked
+
+    before = (rng.random((300, 3)) * 6.0 - 3.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.25, trans=0.5)
+    after = (before @ r.T + t)[rng.permutation(300)].astype(np.float32)
+    kw = dict(
+        weight=0.1, max_iterations=60, tolerance=1e-6,
+        approximation_type=ApproximationType.Hybrid, use_fgt=True,
+    )
+    whole = cpd_register(pad_cloud(before), pad_cloud(after), **kw)
+    for chunk, chunk_fast in ((1, 9), (3, 17)):
+        parts = cpd_register_chunked(
+            pad_cloud(before), pad_cloud(after), chunk=chunk,
+            chunk_fast=chunk_fast, **kw
+        )
+        assert int(parts.iterations) == int(whole.iterations)
+        np.testing.assert_array_equal(
+            np.asarray(parts.transform.rotation),
+            np.asarray(whole.transform.rotation),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(parts.error), np.asarray(whole.error)
+        )
 
 
 @pytest.mark.parametrize(

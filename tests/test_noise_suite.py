@@ -17,7 +17,8 @@ Adaptations, all visible in the table/code:
   plane-*) substitute ``synthetic://`` clouds;
 * clouds are capped at ``NOISE_SUITE_SIZE_CAP`` points for CPU test
   runtime (set ``TPUSLAM_NOISE_FULL=1`` for full-size runs on TPU) —
-  the recovery oracle is size-independent.
+  the recovery oracle is size-independent except where a measured
+  per-config floor says otherwise (``noise.SIZE_CAP_FLOOR``).
 """
 
 import os

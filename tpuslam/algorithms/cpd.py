@@ -784,6 +784,26 @@ def cpd_register(
     )
 
 
+@partial(jax.jit, static_argnames=("centroid_init",))
+def hybrid_fast_threshold(
+    before: Cloud, after: Cloud, centroid_init: bool = False
+) -> jnp.ndarray:
+    """``0.015 * sigma^2_0`` — the Hybrid fast->slow switch threshold
+    (``coherentpointdrift.cpp:158``), computed exactly as
+    ``cpd_register``'s in-program init (same arrays, same masked sums)
+    so a chunked driver's phase test agrees with the loop's."""
+    mask_b, mask_a = before.mask(), after.mask()
+    moving, target = before.points, after.points
+    m, n = jnp.sum(mask_b), jnp.sum(mask_a)
+    if centroid_init:
+        t0 = (
+            jnp.sum(target * mask_a[:, None], axis=0) / n
+            - jnp.sum(moving * mask_b[:, None], axis=0) / m
+        )
+        moving = moving + t0
+    return 0.015 * sigma_squared_init(moving, mask_b, target, mask_a)
+
+
 @jax.jit
 def _morton_sort_cloud(cloud: Cloud) -> Cloud:
     """Morton-sort a padded cloud once (invalid rows last, so the
@@ -800,11 +820,25 @@ def cpd_register_chunked(
     after: Cloud,
     max_iterations: int = -1,
     chunk: int = 5,
+    chunk_fast: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
     **kwargs,
 ) -> RegistrationResult:
     """``cpd_register`` dispatched ``chunk`` EM iterations at a time,
     the full loop state warm-started across dispatches (``CPDResume``).
+
+    ``chunk_fast`` (Hybrid-with-FGT only): iterations per dispatch while
+    the run is still in the FAST phase (``sigma^2 > 0.015 sigma^2_0``,
+    the device FGT — O(N+M), ~an order of magnitude cheaper per
+    iteration than the exact slow-phase kernel at mustang scale).  A
+    single chunk size either starves the fast phase (relayed dispatch
+    latency per ~0.3 s of device work) or lets a slow-phase dispatch run
+    several times the intended device-time bound (ADVICE r4); the phase
+    is tested at every boundary from the carried ``sigma^2`` against the
+    same threshold the loop uses (``hybrid_fast_threshold``).  A
+    dispatch that starts fast and flips mid-chunk finishes its remaining
+    iterations in the slow arms of the SAME dispatch (trajectory is
+    chunk-size invariant); the next boundary then re-sizes.
 
     Identical trajectory to the single-dispatch run (the boundary state
     IS the while_loop carry; asserted bit-equal in ``tests/test_cpd.py``)
@@ -906,8 +940,26 @@ def cpd_register_chunked(
         before = _morton_sort_cloud(before)
         after = _morton_sort_cloud(after)
         kwargs = dict(kwargs, assume_sorted=True)
+    approx_t = kwargs.get("approximation_type", ApproximationType.NONE)
+    phase_aware = (
+        chunk_fast is not None
+        and chunk_fast != chunk
+        and approx_t == ApproximationType.Hybrid
+        and resolve_use_fgt(
+            kwargs.get("use_fgt"), approx_t,
+            before.padded_size, after.padded_size,
+        )
+    )
+    if phase_aware:
+        thr = float(hybrid_fast_threshold(
+            before, after,
+            centroid_init=bool(kwargs.get("centroid_init", False)),
+        ))
     while True:
-        k = min(chunk, max_iterations - total)
+        in_fast = phase_aware and (
+            resume is None or float(resume.sigma2) > thr
+        )
+        k = min(chunk_fast if in_fast else chunk, max_iterations - total)
         result = cpd_register(
             before, after, max_iterations=k, resume=resume, **kwargs
         )

@@ -375,7 +375,17 @@ def icp_register(
         )
     if patience > 0:
         # best-so-far wrapper around the unchanged body: carry
-        # (state, best_R, best_t, best_err, non-improving streak)
+        # (state, best_R, best_t, best_err, non-improving streak).
+        # best_err is seeded with FLT_MAX, NOT the carried init.error:
+        # a resume's error field may be a reporting sentinel (1e5,
+        # basicicp.cpp:26) that no real correspondence error at large
+        # coordinate units would ever beat, and the first EVALUATED
+        # error must always become the initial best.  Vmap caveat: the
+        # batched while_loop runs until EVERY element's cond_p is
+        # false, and an element past its own patience streak keeps
+        # iterating (and may still improve its best) until the slowest
+        # element finishes — best-so-far never degrades, but the
+        # returned best can differ from the solo path's earlier cutoff.
         def cond_p(carry):
             s, _, _, _, streak = carry
             return jnp.logical_and(cond(s), streak < patience)
@@ -392,16 +402,19 @@ def icp_register(
 
         final, best_r, best_t, best_e, _ = jax.lax.while_loop(
             cond_p, body_p,
-            (init, init.rotation, init.translation, init.error,
+            (init, init.rotation, init.translation, FLT_MAX,
              jnp.int32(0)),
         )
+        # zero evaluated iterations (max_iterations=0 or an immediately
+        # false cond): report the carried-in error, not the seed
+        never_evaluated = best_e >= FLT_MAX
         return RegistrationResult(
             transform=RigidTransform(
                 rotation=best_r, translation=best_t,
                 scale=jnp.float32(1.0),
             ),
             iterations=final.iterations,
-            error=best_e,
+            error=jnp.where(never_evaluated, init.error, best_e),
             nn=final.nn,
         )
     final = jax.lax.while_loop(cond, body, init)

@@ -99,12 +99,18 @@ def cpd_chunk_size(
     ``max_iterations = -1`` runs ZERO iterations (reference quirk,
     ``coherentpointdrift.cpp:104``) and is never chunked.
 
-    ``fgt_fast_phase``: at or past the FGT size crossover the Full/
-    Hybrid fast phase runs the device FGT, ~3.8x cheaper per iteration
-    than the exact kernel (bench_results/cpd_large.json) and O(N+M)
-    besides — budget each dispatch 4x more iterations, since a
-    pairs-exact budget of 1-2 iterations/dispatch would pay ~0.5 s of
-    relayed dispatch latency per EM iteration at mustang scale."""
+    ``fgt_fast_phase``: sizes a dispatch of device-FGT iterations
+    (Full with FGT, or Hybrid's FAST phase — the caller passes the
+    phase it is sizing, see ``_run_cpd``).  The FGT is O(N+M), so a
+    pairs budget is the wrong unit; the dispatch is sized directly at
+    ~6 s of device time from the measured ~0.4 us/point per-iteration
+    rate (``bench_results/cpd_large.json``: 0.294 s/iter at 376k+376k)
+    — at mustang scale ~19 iterations/dispatch, far below the relay's
+    multi-minute danger zone, vs the round-4 single 4x-pairs budget
+    whose 5-iteration dispatches paid a relayed dispatch latency per
+    1.5 s of device work (VERDICT r4) and whose application to the
+    WHOLE Hybrid run let a slow-phase dispatch overrun the exact
+    kernel's device-time bound ~4x (ADVICE r4)."""
     if chunk_env is not None:
         try:
             return max(0, int(chunk_env))
@@ -116,11 +122,12 @@ def cpd_chunk_size(
     if backend != "tpu" or max_iterations <= 0:
         return 0
     pairs = max(n_max, 1) * max(m_max, 1)
-    budget = 8e11 if fgt_fast_phase else 2e11
-    per_dispatch = max(1, min(50, int(budget // pairs)))
-    if pairs * max_iterations >= 5 * 2e11:
-        return per_dispatch
-    return 0
+    if pairs * max_iterations < 5 * 2e11:
+        return 0
+    if fgt_fast_phase:
+        points = max(n_max + m_max, 1)
+        return max(1, min(50, int(6.0 / (points * 4e-7))))
+    return max(1, min(50, int(2e11 // pairs)))
 
 
 @register(ComputationMethod.Icp)
@@ -271,17 +278,31 @@ def _run_cpd(
         config.cpd_use_fgt, config.approximation_type,
         padded_before.points.shape[0], padded_after.points.shape[0],
     )
+    chunk_env = os.environ.get("TPUSLAM_CPD_CHUNK")
     chunk = cpd_chunk_size(
         before.shape[0], after.shape[0], max_iterations,
-        jax.default_backend(), os.environ.get("TPUSLAM_CPD_CHUNK"),
-        fgt_fast_phase=fgt_fast,
+        jax.default_backend(), chunk_env,
+        # Full-with-FGT runs the device FGT EVERY iteration, so its one
+        # chunk size is the FGT-rate size; Hybrid sizes its slow
+        # (exact-kernel) dispatches here and its fast dispatches below
+        fgt_fast_phase=(
+            fgt_fast
+            and config.approximation_type == ApproximationType.Full
+        ),
     )
+    chunk_fast = None
+    if fgt_fast and config.approximation_type == ApproximationType.Hybrid:
+        chunk_fast = cpd_chunk_size(
+            before.shape[0], after.shape[0], max_iterations,
+            jax.default_backend(), chunk_env, fgt_fast_phase=True,
+        )
     # setting TPUSLAM_CPD_CKPT forces the chunked driver (same contract
     # as TPUSLAM_ICP_CKPT: the chunk boundary is the durable unit)
     ckpt = os.environ.get("TPUSLAM_CPD_CKPT")
     if chunk or ckpt:
         result = cpd_register_chunked(
             padded_before, padded_after, chunk=chunk or 10,
+            chunk_fast=chunk_fast or None,
             checkpoint_path=ckpt,
             **common,
         )

@@ -275,11 +275,19 @@ def _load_dae(path: str) -> np.ndarray:
     reads each mesh's raw vertex buffer and IGNORES node transforms
     (``loader.cpp:46-66`` never touches ``mTransformation``), so scene
     placement does not move points here either.  Triangulation is
-    irrelevant — only positions are consumed."""
+    irrelevant — only positions are consumed.
+
+    The namespace is detected from the root tag, so both COLLADA 1.4
+    (2005/11 schema) and 1.5 (2008/03) documents parse; a document that
+    parses to zero points still warns on stderr — silence would read as
+    a successfully-loaded empty registration."""
     import xml.etree.ElementTree as ET
 
-    ns = {"c": "http://www.collada.org/2005/11/COLLADASchema"}
     root = ET.parse(path).getroot()
+    # root tag is '{<schema-uri>}COLLADA' — take whatever URI the file
+    # declares (1.4 = .../2005/11/..., 1.5 = .../2008/03/...)
+    uri = root.tag[1:].split("}", 1)[0] if root.tag.startswith("{") else ""
+    ns = {"c": uri or "http://www.collada.org/2005/11/COLLADASchema"}
     clouds = []
     for geom in root.iter("{%s}geometry" % ns["c"]):
         for mesh in geom.findall("c:mesh", ns):
@@ -301,6 +309,11 @@ def _load_dae(path: str) -> np.ndarray:
                     clouds.append(vals.reshape(-1, 3))
                 break
     if not clouds:
+        print(
+            f"[tpuslam] Collada document {path} parsed to zero points "
+            f"(namespace '{ns['c']}')",
+            file=sys.stderr,
+        )
         return np.zeros((0, 3), dtype=np.float32)
     return np.concatenate(clouds, axis=0)
 
@@ -315,12 +328,40 @@ def resolve_path(path: str) -> str:
     return path
 
 
-def synthetic_cloud(n: int) -> np.ndarray:
+def _random_rotation(rng: np.random.Generator) -> np.ndarray:
+    """Uniform random SO(3) rotation (quaternion from an isotropic
+    Gaussian, normalized) — deterministic under the caller's rng."""
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
+
+
+def synthetic_cloud(n: int, lattice: bool = False) -> np.ndarray:
     """Deterministic synthetic cloud of >= n points: the bundled bunny tiled
-    on a grid with per-tile jitter.  Stands in for the reference's large
-    models (rose/mustang/airbus, 300k-1.4M points) that are missing blobs in
-    this checkout (SURVEY §2.8, BASELINE.md) — benchmark rows built on it
-    are labeled by the ``synthetic://`` path."""
+    on a grid, each tile given an INDEPENDENT random rotation about its own
+    center plus jitter.  Stands in for the reference's large models
+    (rose/mustang/airbus, 300k-1.4M points) that are missing blobs in this
+    checkout (SURVEY §2.8, BASELINE.md) — benchmark rows built on it are
+    labeled by the ``synthetic://`` path.
+
+    The per-tile rotation exists so the fixture cannot manufacture ghost
+    optima: through round 4 the tiles were translated copies on a
+    near-commensurate cubic lattice, so shifting the cloud by one lattice
+    period self-overlapped ~50% of the points at 60k and ICP converged to
+    the ghost instead of the identity (``docs/CONVERGENCE_HOLES.md``, the
+    round-4 diagnosis).  Independently rotated tiles share no alignment
+    under any lattice translation, so the registration grids measure the
+    algorithm, not the fixture.  ``lattice=True``
+    (``synthetic://N?lattice=1``) keeps the round-<=4 periodic variant for
+    reproducing the archived diagnosis."""
     base = load_cloud("data/bunny.obj")
     if len(base) == 0:  # reference data unavailable: uniform fallback
         rng = np.random.Generator(np.random.PCG64(n))
@@ -330,6 +371,7 @@ def synthetic_cloud(n: int) -> np.ndarray:
     reps = -(-n // len(base))  # ceil
     side = int(np.ceil(reps ** (1.0 / 3.0)))
     spread = base.max(axis=0) - base.min(axis=0)
+    center = ((base.max(axis=0) + base.min(axis=0)) * 0.5).astype(np.float32)
     rng = np.random.Generator(np.random.PCG64(n))
     tiles = []
     for i in range(reps):
@@ -338,7 +380,11 @@ def synthetic_cloud(n: int) -> np.ndarray:
         jitter = (rng.random(3, dtype=np.float64) * 0.05 * spread).astype(
             np.float32
         )
-        tiles.append(base + offset + jitter)
+        if lattice:
+            tiles.append(base + offset + jitter)
+        else:
+            rot = _random_rotation(rng)
+            tiles.append((base - center) @ rot.T + center + offset + jitter)
     return np.concatenate(tiles, axis=0)[: max(n, 1)]
 
 
@@ -347,10 +393,15 @@ def load_cloud(path: str) -> np.ndarray:
     (mirrors ``LoadCloud``, ``common.cpp:16-23``)."""
     if path.startswith("synthetic://"):
         try:
-            n = int(path[len("synthetic://"):])
+            spec = path[len("synthetic://"):]
+            lattice = False
+            if "?" in spec:
+                spec, query = spec.split("?", 1)
+                lattice = query == "lattice=1"
+            n = int(spec)
             if n <= 0:
                 return np.zeros((0, 3), dtype=np.float32)
-            return synthetic_cloud(n)
+            return synthetic_cloud(n, lattice=lattice)
         except (ValueError, MemoryError):
             # same contract as a malformed file: empty cloud, no raise
             return np.zeros((0, 3), dtype=np.float32)

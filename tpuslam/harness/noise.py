@@ -83,11 +83,24 @@ def _subst(path: str, size_hint: int) -> str:
     return f"synthetic://{max(size_hint, 2000)}"
 
 
+# Per-config floor on the capped test size: the recovery oracle is NOT
+# size-independent everywhere.  Config 16 (CPD hybrid, 50 deg, weight
+# 0.5, 300 outliers on a synthetic substitute) collapses into the
+# free-scale degenerate optimum below ~8k points on the de-aliased
+# fixture (measured round 5: scale 0.37 at <=5.3k, clean 0.996 /
+# gt-MSE 6e-4 at 8.3k and at full size) — the sparse independently
+# rotated tiles no longer carry enough repeated structure per point at
+# 2k.  The floor keeps the strict `recover` oracle instead of
+# re-tiering the config.
+SIZE_CAP_FLOOR = {16: 8000}
+
+
 def build_configuration(
     e: dict, size_cap: Optional[int] = None
 ) -> Configuration:
     """Configuration for one table entry; ``size_cap`` bounds cloud sizes
-    (CPU test runs) — None runs the config at its real size."""
+    (CPU test runs, subject to ``SIZE_CAP_FLOOR``) — None runs the
+    config at its real size."""
     size_hint = e.get("resize_before") or 20000
     before = _subst(e["before"], size_hint)
     after = _subst(e["after"], size_hint)
@@ -98,6 +111,7 @@ def build_configuration(
     resize_b = e.get("resize_before")
     resize_a = e.get("resize_after")
     if size_cap is not None:
+        size_cap = max(size_cap, SIZE_CAP_FLOOR.get(e["id"], 0))
         resize_b = min(resize_b or 10**9, size_cap)
         resize_a = min(resize_a or 10**9, size_cap)
     rotation = np.asarray(e["rotation"], dtype=np.float32).reshape(3, 3)
