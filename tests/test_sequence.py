@@ -112,6 +112,61 @@ def test_seeded_accuracy_matches_unseeded(rng):
         assert terr_s <= max(2.0 * terr_c, 0.05), (k, terr_s, terr_c)
 
 
+def test_scan_lowering_matches_per_pair(rng):
+    """The dispatch-amortized scan lowering runs the same per-iteration
+    math as the per-pair path (shared ``_icp_loop``); trajectories must
+    land in the same optimum (bitwise equality is not promised — pair 0
+    runs patience semantics in-scan vs the cold divergence guard
+    per-pair)."""
+    scans, poses = _make_trajectory(rng)
+    scanned = register_sequence(scans, max_iterations=60,
+                                max_distance_squared=1e6)
+    perpair = register_sequence(scans, max_iterations=60, scan=False,
+                                max_distance_squared=1e6)
+    for k, (true_r, true_t) in enumerate(poses):
+        for out in (scanned, perpair):
+            dev, terr = _pose_error(
+                out.absolute[k].rotation, out.absolute[k].translation,
+                true_r, true_t,
+            )
+            assert dev < 1.0 and terr < 0.15, (k, dev, terr)
+
+
+def test_scan_lowering_chunked_dispatch_identical(rng):
+    """Splitting the scan lowering into several pairs_per_dispatch
+    chunks threads the seed carry across dispatches; the trajectory
+    must be identical to the single-dispatch run (the boundary carry
+    IS the scan carry)."""
+    scans, _ = _make_trajectory(rng, n_scans=6)
+    whole = register_sequence(scans, max_iterations=60,
+                              max_distance_squared=1e6)
+    parts = register_sequence(scans, max_iterations=60,
+                              max_distance_squared=1e6,
+                              pairs_per_dispatch=2)
+    for k in range(len(scans) - 1):
+        np.testing.assert_array_equal(
+            whole.relative[k].rotation, parts.relative[k].rotation)
+        np.testing.assert_array_equal(
+            whole.relative[k].translation, parts.relative[k].translation)
+    np.testing.assert_array_equal(whole.iterations, parts.iterations)
+
+
+def test_scan_lowering_spatial_arm(rng):
+    """The scan lowering's hierarchical-NN arm (host Morton presort +
+    presorted target prep + in-scan warm-start hier NN, interpret mode
+    off-TPU) recovers the same trajectory as the dense arm."""
+    scans, poses = _make_trajectory(rng, n_scans=3, n_pts=700,
+                                    step_angle=0.05, step_trans=0.3)
+    out = register_sequence(scans, max_iterations=40,
+                            max_distance_squared=1e6, use_spatial=True)
+    for k, (true_r, true_t) in enumerate(poses):
+        dev, terr = _pose_error(
+            out.absolute[k].rotation, out.absolute[k].translation,
+            true_r, true_t,
+        )
+        assert dev < 1.5 and terr < 0.2, (k, dev, terr)
+
+
 def test_icp_patience_returns_best_state(rng):
     """patience>0 keeps the best-so-far transform: running MORE
     iterations past convergence never degrades the returned error."""

@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
@@ -29,30 +29,14 @@ os.environ.setdefault(
 )
 
 
-def read_scalar(value):
-    """Force a device->host read — on relayed backends only a read
-    reliably waits for completion (block_until_ready can return before
-    the queued execution drains)."""
-    import numpy as np
-
-    leaf = value
-    while isinstance(leaf, (tuple, list)):
-        leaf = leaf[0]
-    arr = np.asarray(leaf)
-    return float(arr.reshape(-1)[0])
-
-
-def timeit(fn, reps=5):
-    """fn(i) -> device value; i perturbs the input each rep so the relay
-    cannot serve cached results; the final read drains the FIFO queue so
-    the bracket covers every rep."""
-    read_scalar(fn(0))
-    t0 = time.perf_counter()
-    out = None
-    for i in range(1, reps + 1):
-        out = fn(i)
-    read_scalar(out)
-    return (time.perf_counter() - t0) / reps
+# the timing helpers and the 100k headline measurement are SHARED with
+# bench.py (tpuslam/harness/measure.py) so the driver's artifact and
+# this report cannot diverge by protocol (VERDICT r4 weak #5)
+from tpuslam.harness.measure import (  # noqa: E402
+    measure_icp_100k,
+    read_scalar,
+    timeit,
+)
 
 
 def main() -> None:
@@ -110,18 +94,11 @@ def main() -> None:
     # exploits) normalized to spread 10 with the (0.2 rad, 10) transform.
     # The uniform-box pair is kept as a separate row: it is the
     # structure-free worst case for tile admission.
-    from tpuslam.data.loader import load_cloud
-    from tpuslam.data.synthesis import normalize_cloud
+    from tpuslam.harness.measure import build_headline_pair
 
-    spts = normalize_cloud(
-        load_cloud("synthetic://102400").astype(np.float64), 10.0
-    ).astype(np.float32)
-    sr = get_random_rotation_matrix(rng, 0.2)
-    st = get_random_translation_vector(rng, 10.0)
-    smoved = (spts @ sr.T + st)[rng.permutation(len(spts))].astype(
-        np.float32
-    )
-    sb, sa = pad_cloud(spts), pad_cloud(smoved)
+    # the EXACT pair bench.py measures (own seeded rng stream), so the
+    # hier row below is the same-routine, same-input headline
+    sb, sa = build_headline_pair()
     for label, pair, use_spatial, iters in (
         ("dense", (cb, ca), False, 10),
         # the speedup denominator: SAME cloud pair and SAME 50-iteration
@@ -129,21 +106,17 @@ def main() -> None:
         # amortize identically in both arms (the dense kernel itself is
         # structure-insensitive; this is protocol hygiene)
         ("dense_model", (sb, sa), False, 50),
-        ("hier", (sb, sa), True, 50),
+        # the HEADLINE row: the exact shared routine bench.py runs
+        ("hier", (sb, sa), None, 50),
         ("hier_uniform", (cb, ca), True, 50),
     ):
-        pb, pa = pair
-        dt = timeit(
-            lambda i: icp_register(
-                Cloud(pb.points * (1.0 + 1e-5 * i), pb.count), pa,
-                eps=0.0, max_distance_squared=1e18,
-                max_iterations=iters, divergence_guard=False,
-                use_spatial=use_spatial,
-            ),
-            reps=3,
+        m = measure_icp_100k(
+            iters=iters, reps=3, use_spatial=use_spatial, pair=pair,
         )
-        report[f"icp_iter_100k_{label}_ms"] = round(dt / iters * 1000, 2)
-        report[f"icp_iters_per_sec_100k_{label}"] = round(iters / dt, 2)
+        report[f"icp_iter_100k_{label}_ms"] = round(m["ms_per_iter"], 2)
+        report[f"icp_iters_per_sec_100k_{label}"] = round(
+            m["iters_per_sec"], 2
+        )
     report["icp_iter_100k_ms"] = report["icp_iter_100k_hier_ms"]
     report["icp_iters_per_sec_100k"] = report["icp_iters_per_sec_100k_hier"]
     report["icp_vs_ref_gpu_100ms_per_iter"] = round(

@@ -117,6 +117,176 @@ class ICPResume(NamedTuple):
     prev_error: Optional[jnp.ndarray] = None
 
 
+def _icp_loop(
+    src_points: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    run_nn,
+    gather_matched,
+    eps: jnp.ndarray,
+    max_d2: jnp.ndarray,
+    max_iterations: jnp.ndarray,
+    divergence_guard: bool,
+    verbose: bool,
+    iter_offset: jnp.ndarray,
+    init: ICPState,
+    patience: int,
+) -> RegistrationResult:
+    """The whole-registration ``lax.while_loop``: NN correspondence,
+    weighted Procrustes, transform composition, error, stop conditions —
+    everything ``icp_register`` runs after input preparation, factored
+    out so other in-program drivers (the scanned sequence lowering in
+    ``tpuslam.algorithms.sequence``) execute the IDENTICAL per-iteration
+    math with their own prepared inputs.
+
+    ``run_nn(transformed, state) -> (idx, dist, nn_state)`` and
+    ``gather_matched(idx, nn_state) -> f32[N, 3]`` abstract the NN arm
+    (dense jnp/Pallas vs hierarchical warm-start)."""
+
+    def cond(s: ICPState):
+        return jnp.logical_and(
+            jnp.logical_not(s.done),
+            jnp.logical_or(max_iterations == -1, s.iterations < max_iterations),
+        )
+
+    def body(s: ICPState) -> ICPState:
+        new_s = _body(s)
+        # freeze finished problems: under vmap the while_loop keeps
+        # applying the body until EVERY batch element's cond is false, so
+        # an already-converged element must pass through unchanged
+        keep = cond(s)
+        return jax.tree.map(
+            lambda old, new: jnp.where(keep, new, old), s, new_s
+        )
+
+    def _body(s: ICPState) -> ICPState:
+        transformed = transform_points(
+            src_points, s.rotation, s.translation
+        )
+        idx, dist, nn_state = run_nn(transformed, s)
+        w = jnp.logical_and(dist < max_d2, src_mask > 0).astype(jnp.float32)
+        n_corr = jnp.sum(w)
+        no_corr = n_corr == 0
+
+        matched = gather_matched(idx, nn_state)
+        r_step, t_step = weighted_procrustes(transformed, matched, w)
+        # 3x3/3-vector composition in full f32: the default bf16
+        # matmul pass loses ~2^-8 per entry and the composition
+        # compounds it every iteration
+        r_new = jnp.matmul(r_step, s.rotation, precision=jax.lax.Precision.HIGHEST)
+        t_new = jnp.matmul(r_step, s.translation, precision=jax.lax.Precision.HIGHEST) + t_step
+
+        new_transformed = transform_points(src_points, r_new, t_new)
+        diff = matched - new_transformed
+        err = jnp.sum(jnp.sum(diff * diff, axis=-1) * w) / jnp.maximum(n_corr, 1.0)
+
+        converged = err < eps
+        diverged = jnp.logical_and(
+            jnp.asarray(divergence_guard), err > s.prev_error
+        )
+
+        # fail fast on non-finite error (SURVEY §5.3): with
+        # max_iterations=-1 a NaN would otherwise never satisfy any stop
+        # condition and the loop would spin forever
+        non_finite = jnp.logical_not(jnp.isfinite(err))
+
+        # zero correspondences, divergence, or a numeric blowup: stop,
+        # reverting to the pre-iteration transform — exactly the
+        # reference's rollback to the previous accepted state
+        # (icpcuda.cu:43-49), since the carried (rotation, translation)
+        # IS the last accepted transform.  Without the non_finite guard
+        # a NaN step would be committed into the result.
+        def pick(cur, new):
+            return jnp.where(
+                jnp.logical_or(jnp.logical_or(no_corr, diverged),
+                               non_finite),
+                cur, new,
+            )
+
+        rotation = pick(s.rotation, r_new)
+        translation = pick(s.translation, t_new)
+        error = pick(s.error, err)
+        done = jnp.logical_or(
+            jnp.logical_or(no_corr, non_finite),
+            jnp.logical_or(converged, diverged),
+        )
+        # the reference increments only when the loop continues
+        iterations = jnp.where(done, s.iterations, s.iterations + 1)
+
+        if verbose:
+            # the reference's per-iteration printf (basicicp.cpp:50);
+            # iter_offset keeps numbering continuous across chunks
+            jax.debug.print(
+                "loop_nr {i}, error: {e}",
+                i=s.iterations + 1 + iter_offset, e=err,
+            )
+        keep_going = jnp.logical_not(done)
+        return ICPState(
+            rotation=rotation,
+            translation=translation,
+            error=error,
+            prev_error=jnp.where(keep_going, err, s.prev_error),
+            iterations=iterations,
+            done=done,
+            nn=nn_state,
+        )
+
+    if patience > 0:
+        # best-so-far wrapper around the unchanged body: carry
+        # (state, best_R, best_t, best_err, non-improving streak).
+        # best_err is seeded with FLT_MAX, NOT the carried init.error:
+        # a resume's error field may be a reporting sentinel (1e5,
+        # basicicp.cpp:26) that no real correspondence error at large
+        # coordinate units would ever beat, and the first EVALUATED
+        # error must always become the initial best.  Vmap caveat: the
+        # batched while_loop runs until EVERY element's cond_p is
+        # false, and an element past its own patience streak keeps
+        # iterating (and may still improve its best) until the slowest
+        # element finishes — best-so-far never degrades, but the
+        # returned best can differ from the solo path's earlier cutoff.
+        def cond_p(carry):
+            s, _, _, _, streak = carry
+            return jnp.logical_and(cond(s), streak < patience)
+
+        def body_p(carry):
+            s, br, bt, be, streak = carry
+            s2 = body(s)
+            improved = s2.error < be
+            br = jnp.where(improved, s2.rotation, br)
+            bt = jnp.where(improved, s2.translation, bt)
+            be = jnp.where(improved, s2.error, be)
+            streak = jnp.where(improved, 0, streak + 1)
+            return (s2, br, bt, be, streak)
+
+        final, best_r, best_t, best_e, _ = jax.lax.while_loop(
+            cond_p, body_p,
+            (init, init.rotation, init.translation, FLT_MAX,
+             jnp.int32(0)),
+        )
+        # zero evaluated iterations (max_iterations=0 or an immediately
+        # false cond): report the carried-in error, not the seed
+        never_evaluated = best_e >= FLT_MAX
+        return RegistrationResult(
+            transform=RigidTransform(
+                rotation=best_r, translation=best_t,
+                scale=jnp.float32(1.0),
+            ),
+            iterations=final.iterations,
+            error=jnp.where(never_evaluated, init.error, best_e),
+            nn=final.nn,
+        )
+    final = jax.lax.while_loop(cond, body, init)
+    return RegistrationResult(
+        transform=RigidTransform(
+            rotation=final.rotation,
+            translation=final.translation,
+            scale=jnp.float32(1.0),
+        ),
+        iterations=final.iterations,
+        error=final.error,
+        nn=final.nn,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -234,99 +404,18 @@ def icp_register(
             )
             return idx, dist, s.nn
 
-    def cond(s: ICPState):
-        return jnp.logical_and(
-            jnp.logical_not(s.done),
-            jnp.logical_or(max_iterations == -1, s.iterations < max_iterations),
-        )
-
-    def body(s: ICPState) -> ICPState:
-        new_s = _body(s)
-        # freeze finished problems: under vmap the while_loop keeps
-        # applying the body until EVERY batch element's cond is false, so
-        # an already-converged element must pass through unchanged
-        keep = cond(s)
-        return jax.tree.map(
-            lambda old, new: jnp.where(keep, new, old), s, new_s
-        )
-
-    def _body(s: ICPState) -> ICPState:
-        transformed = transform_points(
-            src_points, s.rotation, s.translation
-        )
-        idx, dist, nn_state = run_nn(transformed, s)
-        w = jnp.logical_and(dist < max_d2, src_mask > 0).astype(jnp.float32)
-        n_corr = jnp.sum(w)
-        no_corr = n_corr == 0
-
-        # spatial path: reuse the hier state's matched-point gather
-        # (original_points[idx] — value-identical rows to after.points
-        # for every reachable idx), so XLA CSEs the two gathers into one
-        if use_spatial:
-            matched = nn_state.prev_target
-        else:
-            matched = after.points[idx]
-        r_step, t_step = weighted_procrustes(transformed, matched, w)
-        # 3x3/3-vector composition in full f32: the default bf16
-        # matmul pass loses ~2^-8 per entry and the composition
-        # compounds it every iteration
-        r_new = jnp.matmul(r_step, s.rotation, precision=jax.lax.Precision.HIGHEST)
-        t_new = jnp.matmul(r_step, s.translation, precision=jax.lax.Precision.HIGHEST) + t_step
-
-        new_transformed = transform_points(src_points, r_new, t_new)
-        diff = matched - new_transformed
-        err = jnp.sum(jnp.sum(diff * diff, axis=-1) * w) / jnp.maximum(n_corr, 1.0)
-
-        converged = err < eps
-        diverged = jnp.logical_and(
-            jnp.asarray(divergence_guard), err > s.prev_error
-        )
-
-        # fail fast on non-finite error (SURVEY §5.3): with
-        # max_iterations=-1 a NaN would otherwise never satisfy any stop
-        # condition and the loop would spin forever
-        non_finite = jnp.logical_not(jnp.isfinite(err))
-
-        # zero correspondences, divergence, or a numeric blowup: stop,
-        # reverting to the pre-iteration transform — exactly the
-        # reference's rollback to the previous accepted state
-        # (icpcuda.cu:43-49), since the carried (rotation, translation)
-        # IS the last accepted transform.  Without the non_finite guard
-        # a NaN step would be committed into the result.
-        def pick(cur, new):
-            return jnp.where(
-                jnp.logical_or(jnp.logical_or(no_corr, diverged),
-                               non_finite),
-                cur, new,
-            )
-
-        rotation = pick(s.rotation, r_new)
-        translation = pick(s.translation, t_new)
-        error = pick(s.error, err)
-        done = jnp.logical_or(
-            jnp.logical_or(no_corr, non_finite),
-            jnp.logical_or(converged, diverged),
-        )
-        # the reference increments only when the loop continues
-        iterations = jnp.where(done, s.iterations, s.iterations + 1)
-
-        if verbose:
-            # the reference's per-iteration printf (basicicp.cpp:50);
-            # iter_offset keeps numbering continuous across chunks
-            jax.debug.print(
-                "loop_nr {i}, error: {e}",
-                i=s.iterations + 1 + iter_offset, e=err,
-            )
-        keep_going = jnp.logical_not(done)
-        return ICPState(
-            rotation=rotation,
-            translation=translation,
-            error=error,
-            prev_error=jnp.where(keep_going, err, s.prev_error),
-            iterations=iterations,
-            done=done,
-            nn=nn_state,
-        )
+    if use_spatial:
+        def gather_matched(idx, nn_state):
+            # spatial path: reuse the hier state's matched-point gather
+            # (original_points[idx] — value-identical rows to
+            # after.points for every reachable idx), so XLA CSEs the
+            # two gathers into one
+            del idx
+            return nn_state.prev_target
+    else:
+        def gather_matched(idx, nn_state):
+            del nn_state
+            return after.points[idx]
 
     eye = jnp.eye(3, dtype=jnp.float32)
     zero = jnp.zeros((3,), dtype=jnp.float32)
@@ -373,60 +462,11 @@ def icp_register(
             done=jnp.asarray(False),
             nn=nn_init,
         )
-    if patience > 0:
-        # best-so-far wrapper around the unchanged body: carry
-        # (state, best_R, best_t, best_err, non-improving streak).
-        # best_err is seeded with FLT_MAX, NOT the carried init.error:
-        # a resume's error field may be a reporting sentinel (1e5,
-        # basicicp.cpp:26) that no real correspondence error at large
-        # coordinate units would ever beat, and the first EVALUATED
-        # error must always become the initial best.  Vmap caveat: the
-        # batched while_loop runs until EVERY element's cond_p is
-        # false, and an element past its own patience streak keeps
-        # iterating (and may still improve its best) until the slowest
-        # element finishes — best-so-far never degrades, but the
-        # returned best can differ from the solo path's earlier cutoff.
-        def cond_p(carry):
-            s, _, _, _, streak = carry
-            return jnp.logical_and(cond(s), streak < patience)
-
-        def body_p(carry):
-            s, br, bt, be, streak = carry
-            s2 = body(s)
-            improved = s2.error < be
-            br = jnp.where(improved, s2.rotation, br)
-            bt = jnp.where(improved, s2.translation, bt)
-            be = jnp.where(improved, s2.error, be)
-            streak = jnp.where(improved, 0, streak + 1)
-            return (s2, br, bt, be, streak)
-
-        final, best_r, best_t, best_e, _ = jax.lax.while_loop(
-            cond_p, body_p,
-            (init, init.rotation, init.translation, FLT_MAX,
-             jnp.int32(0)),
-        )
-        # zero evaluated iterations (max_iterations=0 or an immediately
-        # false cond): report the carried-in error, not the seed
-        never_evaluated = best_e >= FLT_MAX
-        return RegistrationResult(
-            transform=RigidTransform(
-                rotation=best_r, translation=best_t,
-                scale=jnp.float32(1.0),
-            ),
-            iterations=final.iterations,
-            error=jnp.where(never_evaluated, init.error, best_e),
-            nn=final.nn,
-        )
-    final = jax.lax.while_loop(cond, body, init)
-    return RegistrationResult(
-        transform=RigidTransform(
-            rotation=final.rotation,
-            translation=final.translation,
-            scale=jnp.float32(1.0),
-        ),
-        iterations=final.iterations,
-        error=final.error,
-        nn=final.nn,
+    return _icp_loop(
+        src_points, src_mask, run_nn, gather_matched,
+        eps, max_d2, max_iterations,
+        divergence_guard=divergence_guard, verbose=verbose,
+        iter_offset=iter_offset, init=init, patience=patience,
     )
 
 

@@ -3,22 +3,32 @@ pairwise and compose absolute poses.
 
 Beyond-reference scope (the reference registers exactly one pair per
 process, ``mainwrapper.cpp:5-54``): the production SLAM workload is a
-SEQUENCE of scans, each close to its predecessor.  Two lowerings:
+SEQUENCE of scans, each close to its predecessor.  Three lowerings:
 
-* **sequential** (default): consecutive pairs run through
-  ``icp_register`` one by one, each SEEDED with the previous pair's
-  relative transform through the ``ICPResume`` carry (constant-velocity
-  prior — scan k+1 tends to continue scan k's motion).  All pairs share
-  one padded shape, so the whole stream reuses a single compiled
-  program; the seed removes the large-motion iterations entirely —
-  measured on the chip at 20 scans x 100k: 1.0 mean ICP iterations/pair
-  seeded vs 9.7 unseeded, with BETTER trajectory drift (RMS 0.0026 vs
-  0.0043 over 19 steps of ~0.5-unit motion), wall 1.07x (per-pair
-  dispatch latency, not iterations, bounds the wall at this scale)
-  (``bench_results/sequence_100k.json``, ``tools/sequence_bench.py``).
-* **batched**: all pairs in one ``icp_register_batch`` program (vmapped
-  or unrolled by the measured crossover).  No cross-pair seeding — use
-  when throughput beats per-pair latency and motion is small.
+* **scan** (default): k consecutive pairs run inside ONE compiled
+  program — a ``lax.scan`` over stacked scans whose carry is the
+  previous pair's relative transform (constant-velocity prior — scan
+  k+1 tends to continue scan k's motion), threading the seed entirely
+  in-program.  Each scan step executes the IDENTICAL per-iteration
+  math as ``icp_register`` (the shared ``_icp_loop`` core) with
+  patience best-so-far semantics.  This is the dispatch-amortized
+  path: the round-4 per-pair lowering measured ~97% of its wall in
+  per-pair dispatch latency + host round-trips (9.7x iteration savings
+  bought 1.07x wall, ``bench_results/sequence_100k.json`` r4); here
+  one dispatch covers ``pairs_per_dispatch`` pairs and only the final
+  stacked results cross the host boundary.  Morton sorting is done
+  ONCE per cloud on the host (performance-only — the NN result is
+  order-exact regardless), shared between the cloud's source and
+  target roles.
+* **per-pair** (``scan=False``): consecutive pairs run through
+  ``icp_register`` one by one, seeded through the ``ICPResume`` carry.
+  All pairs share one padded shape; note the two static signatures
+  (pair 0 cold: divergence_guard on / patience 0; seeded pairs:
+  guard off / patience>0) compile two distinct programs.
+* **batched** (``batch=True``): all pairs in one
+  ``icp_register_batch`` program (vmapped or unrolled by the measured
+  crossover).  No cross-pair seeding — use when motion is small and
+  throughput beats everything.
 
 Absolute poses compose homogeneously: ``T_k = T_{k-1} ∘ rel_k`` with
 ``rel_k`` mapping scan k to scan k+1's frame (the reference transform
@@ -27,13 +37,34 @@ direction: ``before -> after``).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, NamedTuple, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuslam.algorithms.icp import FLT_MAX, ICPResume, icp_register
+from tpuslam.algorithms.icp import (
+    FLT_MAX,
+    ICPResume,
+    ICPState,
+    _icp_loop,
+    icp_register,
+    resolve_use_spatial,
+)
 from tpuslam.core.types import Cloud, RigidTransform, pad_cloud, round_up
+
+# patience for seeded pairs (scan + per-pair lowerings): a warm start
+# sits immediately in the near-optimum regime where the correspondence
+# error fluctuates, so the reference's stop-on-first-error-increase
+# guard fires on noise after ~2 iterations and returns seed quality
+# (measured drift RMS 3.1 vs 0.50 unseeded at 20x100k,
+# tools/probe_seq_seed.py); an estimated seed can also plateau for a
+# few iterations before descending further, so patience must ride out
+# the plateau.  8 was tuned under the round-3 numerics; the round-5
+# chip sweep (tools/sequence_bench.py --patience-sweep) re-measures
+# the accuracy/wall trade under the exact-f32 transforms.
+SEED_PATIENCE = 8
 
 
 class SequenceResult(NamedTuple):
@@ -66,6 +97,257 @@ def _invert(t: RigidTransform) -> RigidTransform:
                           scale=np.float32(1.0))
 
 
+def _host_morton_order(points: np.ndarray, n_valid: int) -> np.ndarray:
+    """Host-side replica of ``ops.spatial.morton_codes`` + stable
+    argsort (invalid/padded rows last).  Performance-only: the sorted
+    order feeds tile compactness; the NN results are exact for ANY row
+    order, so host/device float quirks cannot change results."""
+    n = len(points)
+    codes = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    if n_valid > 0:
+        pts = points[:n_valid].astype(np.float32)
+        lo = pts.min(axis=0)
+        extent = np.maximum(pts.max(axis=0) - lo, 1e-12)
+        q = np.clip(
+            ((pts - lo) / extent * 1023.0).astype(np.int64), 0, 1023
+        )
+
+        def part1by2(x):
+            x = x & 0x3FF
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        codes[:n_valid] = (
+            part1by2(q[:, 0])
+            | (part1by2(q[:, 1]) << 1)
+            | (part1by2(q[:, 2]) << 2)
+        )
+    return np.argsort(codes, kind="stable")
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "use_spatial", "patience", "g", "gsrc", "l_budget", "interpret",
+        "use_pallas", "seeded",
+    ),
+)
+def _register_pairs_scanned(
+    pts: jnp.ndarray,  # f32[S, P, 3] (Morton-sorted per cloud if spatial)
+    msk: jnp.ndarray,  # f32[S, P]
+    counts: jnp.ndarray,  # i32[S]
+    seed_r: jnp.ndarray,  # f32[3, 3] — carry entering this chunk
+    seed_t: jnp.ndarray,  # f32[3]
+    eps: jnp.ndarray,
+    max_d2: jnp.ndarray,
+    max_iterations: jnp.ndarray,
+    use_spatial: bool,
+    patience: int,
+    g: int,
+    gsrc: int,
+    l_budget: int,
+    interpret: bool,
+    use_pallas: Optional[bool],
+    seeded: bool = True,
+):
+    """Register ``pts[k] -> pts[k+1]`` for all S-1 consecutive pairs in
+    ONE program: target states prepared vmapped up front (one per
+    cloud, no in-loop argsort — rows arrive presorted), then a
+    ``lax.scan`` whose carry is the previous pair's relative transform
+    and whose step runs the shared ``_icp_loop``.  Returns stacked
+    (rotations, translations, iterations, errors)."""
+    if use_spatial:
+        from tpuslam.ops.nn_hier import (
+            hier_state_init,
+            nearest_neighbors_hier_auto,
+            prepare_hier_target,
+        )
+
+        targets = jax.vmap(
+            lambda p, mk, c: prepare_hier_target(
+                p, mk, c, g=g, presorted=True
+            )
+        )(pts[1:], msk[1:], counts[1:])
+        xs = (pts[:-1], msk[:-1], targets)
+    else:
+        from tpuslam.ops.nn import nearest_neighbors
+
+        xs = (pts[:-1], msk[:-1], (pts[1:], counts[1:]))
+
+    def step(carry, x):
+        if seeded:
+            prev_r, prev_t = carry
+        else:  # every pair cold-starts from identity
+            prev_r = jnp.eye(3, dtype=jnp.float32)
+            prev_t = jnp.zeros((3,), jnp.float32)
+        src_pts, src_msk, tgt = x
+        if use_spatial:
+            def run_nn(transformed, s: ICPState):
+                return nearest_neighbors_hier_auto(
+                    transformed, src_msk, tgt, s.nn,
+                    l_budget=l_budget, g=g, gsrc=gsrc,
+                    interpret=interpret,
+                )
+
+            def gather_matched(idx, nn_state):
+                del idx
+                return nn_state.prev_target
+
+            nn_init = hier_state_init(
+                src_pts.shape[0], tgt.packed.shape[0]
+            )
+        else:
+            tgt_pts, tgt_count = tgt
+
+            def run_nn(transformed, s: ICPState):
+                idx, dist = nearest_neighbors(
+                    transformed, tgt_pts, tgt_count,
+                    use_pallas=use_pallas,
+                )
+                return idx, dist, s.nn
+
+            def gather_matched(idx, nn_state):
+                del nn_state
+                return tgt_pts[idx]
+
+            nn_init = None
+        init = ICPState(
+            rotation=prev_r,
+            translation=prev_t,
+            error=jnp.float32(1e5),  # reporting init, basicicp.cpp:26
+            prev_error=FLT_MAX,
+            iterations=jnp.int32(0),
+            done=jnp.asarray(False),
+            nn=nn_init,
+        )
+        res = _icp_loop(
+            src_pts, src_msk, run_nn, gather_matched,
+            eps, max_d2, max_iterations,
+            # patience=0 restores the reference stop-on-error-increase
+            # contract (unseeded mode); patience>0 is the seeded-warm-
+            # start semantic (see SEED_PATIENCE)
+            divergence_guard=patience == 0,
+            verbose=False,
+            iter_offset=jnp.int32(0),
+            init=init,
+            patience=patience,
+        )
+        out = (
+            res.transform.rotation, res.transform.translation,
+            res.iterations, res.error,
+        )
+        return (res.transform.rotation, res.transform.translation), out
+
+    (_, _), outs = jax.lax.scan(step, (seed_r, seed_t), xs)
+    return outs
+
+
+def _scan_pairs_per_dispatch(n_pad: int, patience: int) -> int:
+    """Pairs per compiled dispatch for the scan lowering: bound device
+    time per dispatch (relayed workers die under multi-minute
+    programs) with a ~5 s budget at the measured per-iteration model
+    (~5 ms at 100k rows scaling ~N^1.3, ``bench_report.json``), and
+    each seeded pair costs ~(patience + 2) loop iterations."""
+    iter_s = 5e-3 * (max(n_pad, 1) / 102_400) ** 1.3
+    per_pair_s = (patience + 2) * iter_s
+    return max(1, min(64, int(5.0 / max(per_pair_s, 1e-6))))
+
+
+def _register_sequence_scanned(
+    arrs: List[np.ndarray],
+    npad: int,
+    eps: float,
+    max_distance_squared: float,
+    max_iterations: int,
+    seed_with_previous: bool,
+    use_spatial: Optional[bool],
+    patience: Optional[int],
+    pairs_per_dispatch: Optional[int],
+):
+    """The scan lowering's host driver: pad + (spatial) host-Morton-sort
+    every cloud once, stack, and dispatch ``pairs_per_dispatch`` pairs
+    per compiled program, threading the seed carry across dispatches."""
+    use_spatial = resolve_use_spatial(use_spatial, None, npad)
+    if use_spatial:
+        from tpuslam.ops.nn_hier import (
+            _coarse_tile_rows,
+            auto_tile_params,
+        )
+
+        g, gsrc, l_budget = auto_tile_params(npad)
+        npad = round_up(
+            npad, max(gsrc, g, _coarse_tile_rows(g, gsrc) or g)
+        )
+        interpret = jax.default_backend() != "tpu"
+    else:
+        g = gsrc = l_budget = 0
+        interpret = False
+    if patience is None:
+        patience = SEED_PATIENCE if seed_with_previous else 0
+
+    s = len(arrs)
+    pts_h = np.zeros((s, npad, 3), np.float32)
+    msk_h = np.zeros((s, npad), np.float32)
+    counts_h = np.zeros((s,), np.int32)
+    for k, a in enumerate(arrs):
+        n = len(a)
+        if use_spatial:
+            padded = np.zeros((npad, 3), np.float32)
+            padded[:n] = a
+            order = _host_morton_order(padded, n)
+            pts_h[k] = padded[order]
+            # invalid rows carry the largest code -> sorted last, so
+            # the count-prefix mask stays valid on the sorted rows
+        else:
+            pts_h[k, :n] = a
+        msk_h[k, :n] = 1.0
+        counts_h[k] = n
+
+    pts = jnp.asarray(pts_h)
+    msk = jnp.asarray(msk_h)
+    counts = jnp.asarray(counts_h)
+    eps_d = jnp.float32(eps)
+    max_d2_d = jnp.float32(max_distance_squared)
+    max_it_d = jnp.int32(max_iterations)
+
+    n_pairs = s - 1
+    chunk = pairs_per_dispatch or _scan_pairs_per_dispatch(npad, patience)
+    seed_r = jnp.eye(3, dtype=jnp.float32)
+    seed_t = jnp.zeros((3,), jnp.float32)
+    rot_l, tr_l, it_l, er_l = [], [], [], []
+    for start in range(0, n_pairs, chunk):
+        stop = min(start + chunk, n_pairs)
+        outs = _register_pairs_scanned(
+            pts[start:stop + 1], msk[start:stop + 1],
+            counts[start:stop + 1],
+            seed_r, seed_t, eps_d, max_d2_d, max_it_d,
+            use_spatial=use_spatial, patience=patience,
+            g=g, gsrc=gsrc, l_budget=l_budget, interpret=interpret,
+            use_pallas=None, seeded=seed_with_previous,
+        )
+        rot, tr, it, er = outs
+        if seed_with_previous:
+            # thread the carry to the next chunk ON DEVICE
+            seed_r, seed_t = rot[-1], tr[-1]
+        rot_l.append(rot)
+        tr_l.append(tr)
+        it_l.append(it)
+        er_l.append(er)
+    rot = np.concatenate([np.asarray(x) for x in rot_l])
+    tr = np.concatenate([np.asarray(x) for x in tr_l])
+    iters = np.concatenate([np.asarray(x) for x in it_l]).astype(np.int32)
+    errs = np.concatenate([np.asarray(x) for x in er_l]).astype(np.float32)
+    rels = [
+        RigidTransform(rotation=rot[k], translation=tr[k],
+                       scale=np.float32(1.0))
+        for k in range(n_pairs)
+    ]
+    return rels, iters, errs
+
+
 def register_sequence(
     clouds: Sequence[np.ndarray],
     eps: float = 1e-3,
@@ -73,12 +355,22 @@ def register_sequence(
     max_iterations: int = 50,
     seed_with_previous: bool = True,
     batch: bool = False,
+    scan: Optional[bool] = None,
     use_spatial: Optional[bool] = None,
+    patience: Optional[int] = None,
+    pairs_per_dispatch: Optional[int] = None,
 ) -> SequenceResult:
     """Register ``clouds[k] -> clouds[k+1]`` for every consecutive pair
     and compose the absolute trajectory.  Clouds are host arrays (or
     Clouds) of possibly different sizes; all are padded to one common
-    lane-aligned shape so every pair reuses the same compiled program."""
+    lane-aligned shape so every pair reuses the same compiled program.
+
+    ``scan`` (default auto: ON unless ``batch``) picks the
+    dispatch-amortized in-program lowering; ``patience`` overrides the
+    seeded best-so-far window (None: ``SEED_PATIENCE`` when seeded, 0 —
+    the reference divergence-guard contract — when not);
+    ``pairs_per_dispatch`` overrides the device-time-budgeted chunking
+    of the scan lowering."""
     if len(clouds) < 2:
         raise ValueError("register_sequence needs at least two clouds")
     arrs = [
@@ -87,7 +379,6 @@ def register_sequence(
         for c in clouds
     ]
     npad = max(round_up(max(len(a), 1), 128) for a in arrs)
-    padded = [pad_cloud(a, multiple=npad) for a in arrs]
 
     if batch:
         from tpuslam.algorithms.batch import icp_register_batch, stack_clouds
@@ -109,7 +400,16 @@ def register_sequence(
         ]
         iters = np.asarray(out.iterations)
         errs = np.asarray(out.error)
+    elif scan or scan is None:
+        rels, iters, errs = _register_sequence_scanned(
+            arrs, npad, eps, max_distance_squared, max_iterations,
+            seed_with_previous, use_spatial, patience,
+            pairs_per_dispatch,
+        )
     else:
+        padded = [pad_cloud(a, multiple=npad) for a in arrs]
+        if patience is None:
+            patience = SEED_PATIENCE
         rels, iters_l, errs_l = [], [], []
         prev_dev = None  # previous pair's (rotation, translation), ON DEVICE
         for k in range(len(arrs) - 1):
@@ -128,23 +428,17 @@ def register_sequence(
                     prev_error=jnp.float32(FLT_MAX),
                 )
             # seeded pairs replace the reference's stop-on-first-error-
-            # increase guard with patience=8 best-so-far semantics: a
-            # warm start sits immediately in the near-optimum regime
-            # where the correspondence error fluctuates, so the guard
-            # fires on noise after ~2 iterations and returns seed
-            # quality (measured drift RMS 3.1 vs 0.50 unseeded at
-            # 20x100k, tools/probe_seq_seed.py); an estimated seed can
-            # also plateau for several iterations before descending
-            # further, so patience must ride out the plateau (patience=3
-            # still lost 2x per-pair accuracy; 8 costs ~40 ms of extra
-            # iterations at 100k against ~1 unit of trajectory drift)
+            # increase guard with patience best-so-far semantics (see
+            # SEED_PATIENCE); pair 0 keeps the cold-start reference
+            # contract — note the two (divergence_guard, patience)
+            # static signatures compile two distinct programs
             r = icp_register(
                 padded[k], padded[k + 1], eps=eps,
                 max_distance_squared=max_distance_squared,
                 max_iterations=max_iterations, use_spatial=use_spatial,
                 resume=resume,
                 divergence_guard=resume is None,
-                patience=0 if resume is None else 8,
+                patience=0 if resume is None else patience,
             )
             rel = RigidTransform(
                 rotation=np.asarray(r.transform.rotation),

@@ -162,13 +162,22 @@ def _split_hi_lo(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return hi, lo
 
 
-@partial(jax.jit, static_argnames=("g",))
+@partial(jax.jit, static_argnames=("g", "presorted"))
 def prepare_hier_target(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     count: jnp.ndarray,
     g: int = DEFAULT_G,
+    presorted: bool = False,
 ) -> HierTarget:
+    """``presorted=True`` skips the in-program Morton argsort (the
+    scanned sequence lowering sorts every cloud ONCE on the host and
+    shares the order between its source and target roles); the caller
+    must supply rows already in Morton order with invalid rows LAST.
+    The packed tie-break index is then the row position in the sorted
+    array, so exact-distance ties resolve in sorted order rather than
+    the caller's original order (still deterministic; returned indices
+    and ``original_points`` gathers live in the same sorted space)."""
     m = points.shape[0]
     assert m % g == 0, "padded target length must divide the tile size"
     # original indices ride the rescore operand as f32 (packed col 3);
@@ -178,9 +187,14 @@ def prepare_hier_target(
         f"hierarchical NN packs target indices as f32: {m} rows exceeds "
         "the exactly-representable 2^24 range (use the dense kernel)"
     )
-    perm = morton_permutation(points, mask)
-    sorted_points = points[perm]
-    sorted_mask = mask[perm]
+    if presorted:
+        perm = jnp.arange(m, dtype=jnp.int32)
+        sorted_points = points
+        sorted_mask = mask
+    else:
+        perm = morton_permutation(points, mask)
+        sorted_points = points[perm]
+        sorted_mask = mask[perm]
     bounds = tile_bounds(sorted_points, sorted_mask, g)
     # conservative inflation: bbox/radius arithmetic is f32
     radii = bounds.radii * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6)

@@ -55,7 +55,9 @@ def _build(mesh: Mesh, const_scale: bool,
     k_local = fgt_k
 
     def loop(moving, mask_b, tgt_shard, tgt_count,
-             weight, eps, tolerance, max_iterations):
+             weight, eps, tolerance, max_iterations,
+             has_resume, res_r, res_t, res_scale, res_sigma2,
+             res_ll, res_ntol):
         shard_size = tgt_shard.shape[0]
         offset = jax.lax.axis_index(axis) * shard_size
         local_gidx = offset + jnp.arange(shard_size, dtype=jnp.int32)
@@ -251,24 +253,34 @@ def _build(mesh: Mesh, const_scale: bool,
                 iterations=s.iterations + 1,
             )
 
+        # cold start (has_resume=False) initializes from the in-program
+        # sigma2_0; a chunk-boundary resume re-enters with the FULL EM
+        # carry (sigma2_0/c_init above recompute bit-identically from
+        # the unchanged inputs), so chunked dispatch follows the
+        # unchunked trajectory step for step
+        def pick(cold, res):
+            return jnp.where(has_resume, res, cold)
+
         init = CPDState(
-            rotation=jnp.eye(3, dtype=jnp.float32),
-            translation=jnp.zeros((3,), jnp.float32),
-            scale=jnp.float32(1.0),
-            sigma2=sigma2_0,
-            log_likelihood=jnp.float32(0.0),
-            ntol=tolerance + 10.0,
+            rotation=pick(jnp.eye(3, dtype=jnp.float32), res_r),
+            translation=pick(jnp.zeros((3,), jnp.float32), res_t),
+            scale=pick(jnp.float32(1.0), res_scale),
+            sigma2=pick(sigma2_0, res_sigma2),
+            log_likelihood=pick(jnp.float32(0.0), res_ll),
+            ntol=pick(tolerance + 10.0, res_ntol),
             iterations=jnp.int32(0),
         )
         final = jax.lax.while_loop(cond, body, init)
         return (final.rotation, final.translation, final.scale,
-                final.iterations, final.sigma2)
+                final.iterations, final.sigma2,
+                final.log_likelihood, final.ntol)
 
     sharded = jax.shard_map(
         loop,
         mesh=mesh,
-        in_specs=(P(), P(), P(POINTS_AXIS, None), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(POINTS_AXIS, None), P(), P(), P(), P(), P(),
+                  P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -288,6 +300,7 @@ def cpd_register_sharded(
     fgt_k: int = 128,
     order_of_truncation: int = 8,
     ratio_of_far_field: float = 10.0,
+    resume=None,
 ) -> RegistrationResult:
     """``before`` (moving) replicated, ``after`` (target) sharded.
 
@@ -309,7 +322,24 @@ def cpd_register_sharded(
         order_of_truncation, ratio_of_far_field,
     )
     weight = float(min(max(weight, 1e-6), 1.0 - 1e-6))
-    rotation, translation, scale, iterations, sigma2 = fn(
+    if resume is None:
+        res_vals = (
+            jnp.asarray(False), jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros((3,), jnp.float32), jnp.float32(1.0),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        )
+    else:  # CPDResume — the full EM carry at a chunk boundary
+        res_vals = (
+            jnp.asarray(True),
+            jnp.asarray(resume.rotation, jnp.float32),
+            jnp.asarray(resume.translation, jnp.float32),
+            jnp.asarray(resume.scale, jnp.float32),
+            jnp.asarray(resume.sigma2, jnp.float32),
+            jnp.asarray(resume.log_likelihood, jnp.float32),
+            jnp.asarray(resume.ntol, jnp.float32),
+        )
+    (rotation, translation, scale, iterations, sigma2,
+     log_likelihood, ntol) = fn(
         before.points,
         before.mask(),
         after.points,
@@ -318,11 +348,61 @@ def cpd_register_sharded(
         jnp.float32(eps),
         jnp.float32(tolerance),
         jnp.int32(max_iterations),
+        *res_vals,
     )
+    final = (rotation, translation, scale, sigma2, log_likelihood, ntol)
     return RegistrationResult(
         transform=RigidTransform(
             rotation=rotation, translation=translation, scale=scale
         ),
         iterations=iterations,
         error=sigma2,
+        em=final,
+    )
+
+
+def cpd_register_sharded_chunked(
+    before: Cloud,
+    after: Cloud,
+    mesh: Mesh,
+    max_iterations: int = -1,
+    chunk: int = 5,
+    **kwargs,
+) -> RegistrationResult:
+    """``cpd_register_sharded`` dispatched ``chunk`` EM iterations at a
+    time — the multi-chip analog of ``cpd_register_chunked`` (the
+    production long-registration path over the mesh).  The boundary
+    state is the exact while_loop carry, so the trajectory matches the
+    single-dispatch sharded run."""
+    from tpuslam.algorithms.cpd import CPDResume
+
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    if max_iterations < 0:
+        # reference quirk: CPD's -1 means ZERO iterations
+        # (coherentpointdrift.cpp:104)
+        return cpd_register_sharded(
+            before, after, mesh, max_iterations=max_iterations, **kwargs
+        )
+    total = 0
+    resume = None
+    while True:
+        k = min(chunk, max_iterations - total)
+        result = cpd_register_sharded(
+            before, after, mesh, max_iterations=k, resume=resume,
+            **kwargs,
+        )
+        did = int(result.iterations)
+        total += did
+        r, t, s, sigma2, ll, ntol = result.em
+        resume = CPDResume(
+            rotation=r, translation=t, scale=s, sigma2=sigma2,
+            log_likelihood=ll, ntol=ntol, done_before=jnp.int32(total),
+        )
+        if did < k or total >= max_iterations:
+            break
+    return RegistrationResult(
+        transform=result.transform,
+        iterations=jnp.int32(total),
+        error=result.error,
     )

@@ -29,7 +29,8 @@ from tpuslam.ops.geometry import transform_points
 def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
            interpret: bool, tile_params=None):
     def loop(before_pts, src_mask, tgt_shard, tgt_count,
-             eps, max_d2, max_iterations):
+             eps, max_d2, max_iterations,
+             init_r, init_t, init_err, init_prev):
         if use_spatial:
             # per-shard hierarchical NN (tpuslam.ops.nn_hier): each
             # device Morton-sorts and bounds ITS target slice, threads
@@ -148,11 +149,15 @@ def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
                 nn=nn_state,
             )
 
-        eye = jnp.eye(3, dtype=jnp.float32)
-        zero = jnp.zeros((3,), dtype=jnp.float32)
+        # cold start passes (eye, zero, 1e5, FLT_MAX); a chunked resume
+        # passes the accepted boundary state — same values the loop
+        # would hold had it continued, so chunked dispatch follows the
+        # unchunked trajectory step for step (the hier warm state is NOT
+        # carried across dispatches: it only affects speed, never the
+        # exact NN result)
         init = ICPState(
-            rotation=eye, translation=zero,
-            error=jnp.float32(1e5), prev_error=FLT_MAX,
+            rotation=init_r, translation=init_t,
+            error=init_err, prev_error=init_prev,
             iterations=jnp.int32(0), done=jnp.asarray(False),
             nn=nn_init,
         )
@@ -162,7 +167,8 @@ def _build(mesh: Mesh, divergence_guard: bool, use_spatial: bool,
     sharded = jax.shard_map(
         loop,
         mesh=mesh,
-        in_specs=(P(), P(), P(POINTS_AXIS, None), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(POINTS_AXIS, None), P(), P(), P(), P(),
+                  P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
@@ -178,6 +184,7 @@ def icp_register_sharded(
     max_iterations: int = 50,
     divergence_guard: bool = True,
     use_spatial: bool = False,
+    resume=None,
 ) -> RegistrationResult:
     """``before`` replicated, ``after`` sharded along the points axis
     (see ``tpuslam.parallel.mesh.shard_cloud``).
@@ -214,6 +221,22 @@ def icp_register_sharded(
 
     interpret = _jax.default_backend() != "tpu"
     fn = _build(mesh, divergence_guard, use_spatial, interpret, tile_params)
+    if resume is None:
+        init_r = jnp.eye(3, dtype=jnp.float32)
+        init_t = jnp.zeros((3,), jnp.float32)
+        init_err = jnp.float32(1e5)  # basicicp.cpp:26
+        init_prev = FLT_MAX
+    else:
+        # chunk-boundary warm start (ICPResume): prev_error defaults to
+        # the accepted error — the divergence-guard state at a boundary
+        init_r = jnp.asarray(resume.rotation, jnp.float32)
+        init_t = jnp.asarray(resume.translation, jnp.float32)
+        init_err = jnp.asarray(resume.error, jnp.float32)
+        init_prev = jnp.asarray(
+            resume.error if resume.prev_error is None
+            else resume.prev_error,
+            jnp.float32,
+        )
     rotation, translation, iterations, error = fn(
         b_points,
         b_mask,
@@ -222,6 +245,7 @@ def icp_register_sharded(
         jnp.float32(eps),
         jnp.float32(max_distance_squared),
         jnp.int32(max_iterations),
+        init_r, init_t, init_err, init_prev,
     )
     return RegistrationResult(
         transform=RigidTransform(
@@ -284,4 +308,54 @@ def icp_register_sharded_prealigned(
         ),
         iterations=res.iterations,
         error=res.error,
+    )
+
+
+def icp_register_sharded_chunked(
+    before: Cloud,
+    after: Cloud,
+    mesh: Mesh,
+    eps: float = 1e-3,
+    max_distance_squared: float = 1000.0,
+    max_iterations: int = 50,
+    chunk: int = 10,
+    **kwargs,
+) -> RegistrationResult:
+    """``icp_register_sharded`` dispatched ``chunk`` iterations at a
+    time — the multi-chip analog of ``icp_register_chunked`` (bounding
+    single-dispatch device time on long registrations; the production
+    long-registration path over the mesh).  Identical trajectory to
+    the single-dispatch sharded run: the boundary state is the exact
+    while_loop carry, and the hier warm state (speed-only) re-warms
+    after one in-dispatch iteration."""
+    from tpuslam.algorithms.icp import ICPResume
+
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    total = 0
+    resume = None
+    while True:
+        if max_iterations == -1:
+            k = chunk
+        else:
+            k = min(chunk, max_iterations - total)
+        result = icp_register_sharded(
+            before, after, mesh, eps=eps,
+            max_distance_squared=max_distance_squared,
+            max_iterations=k, resume=resume, **kwargs,
+        )
+        did = int(result.iterations)
+        total += did
+        resume = ICPResume(
+            rotation=result.transform.rotation,
+            translation=result.transform.translation,
+            error=result.error,
+            done_before=jnp.int32(total),
+        )
+        if did < k or (max_iterations != -1 and total >= max_iterations):
+            break
+    return RegistrationResult(
+        transform=result.transform,
+        iterations=jnp.int32(total),
+        error=result.error,
     )
