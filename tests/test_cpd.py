@@ -274,8 +274,10 @@ def test_cpd_chunk_size_fgt_budget():
     n = 376_401
     exact = cpd_chunk_size(n, n, 15, "tpu")
     fgt = cpd_chunk_size(n, n, 15, "tpu", fgt_fast_phase=True)
+    slow = cpd_chunk_size(n, n, 15, "tpu", truncated_slow=True)
     assert exact == 1
     assert fgt == 19  # 6 s / (752802 points * 0.4 us/point)
+    assert slow == 8  # 1.2e12 pairs / 376401^2 (candidate-kernel rate)
     # env override still wins; CPU still never chunks
     assert cpd_chunk_size(n, n, 15, "tpu", "3", fgt_fast_phase=True) == 3
     assert cpd_chunk_size(n, n, 15, "cpu", fgt_fast_phase=True) == 0

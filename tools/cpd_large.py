@@ -148,56 +148,143 @@ def main() -> None:
             f"{dt_c:.3f} s/iter ({dt / dt_c:.2f}x vs dense)", flush=True
         )
 
+    # --- M-step alone (for the wall budget) ---
+    from tpuslam.algorithms.cpd import Sufficient, cpd_mstep
+
+    p1_f = mm * jnp.float32(0.5)
+    pt1_f = nm * jnp.float32(0.5)
+    px_f = cn.points * mm[:, None] * jnp.float32(0.5)
+    mstep_fn = jax.jit(
+        lambda mv: cpd_mstep(
+            mv, cn.points,
+            Sufficient(p1=p1_f, pt1=pt1_f, px=px_f,
+                       error=jnp.float32(1.0)),
+            True, jnp.float32(1.0),
+        ).sigma2
+    )
+    dt_m = timeit(lambda i: mstep_fn(cm.points * (1.0 + 1e-5 * i)), reps=3)
+    results["mstep_s_per_iter"] = round(dt_m, 4)
+    print(f"M-step: {dt_m:.4f} s/iter", flush=True)
+
     # --- short full registration, Hybrid ladder (reference bench mode) ---
-    # chunked dispatch: at 376k one E-step is seconds, and multi-minute
-    # single XLA programs kill relayed workers (docs/ROADMAP.md rules)
-    from tpuslam.algorithms.cpd import cpd_register_chunked as cpd_register
+    # the production path: chunked driver with per-phase dispatch sizing
+    # (registry gates: chunk_fast=19 FGT iters, chunk=8 truncated slow
+    # iters at this size) and a HOST Morton pre-sort (~30 ms vs the
+    # ~0.4 s on-device argsort per cloud) — the timed region includes
+    # the sort, H2D and every dispatch
+    from tpuslam.algorithms.cpd import (
+        cpd_register,
+        cpd_register_chunked,
+        hybrid_fast_threshold,
+    )
+    from tpuslam.algorithms.registry import cpd_chunk_size
+    from tpuslam.core.types import Cloud
+    from tpuslam.ops.spatial import host_morton_order
 
     r = get_random_rotation_matrix(rng, 0.2)
     t = get_random_translation_vector(rng, 10.0)
     moved = (pts @ r.T + t)[rng.permutation(size)].astype(np.float32)
-    cb, ca = pad_cloud(pts), pad_cloud(moved)
     import time as _time
 
+    chunk_slow = cpd_chunk_size(size, size, 15, "tpu",
+                                truncated_slow=True) or 8
+    chunk_fast = cpd_chunk_size(size, size, 15, "tpu",
+                                fgt_fast_phase=True) or 19
+    results["chunk_slow"] = chunk_slow
+    results["chunk_fast"] = chunk_fast
     common = dict(
         weight=0.1, const_scale=True, tolerance=1e-4,
         approximation_type=ApproximationType.Hybrid,
+        chunk=chunk_slow, chunk_fast=chunk_fast, assume_sorted=True,
     )
-    # warm up compilation: max_iterations is traced, so a 9-iteration
-    # call at chunk=8 compiles BOTH programs the timed run uses (the
-    # cold-start trace at k=8 and the resumed-chunk trace at k=1); with
-    # the FGT fast phase at ~0.3 s/iter a chunk of 8 keeps each dispatch
-    # a few seconds while paying the ~0.5 s relayed dispatch latency 2x
-    # instead of 5x (tools/probe_fgt_sweep.py)
-    common["chunk"] = 8
-    float(cpd_register(cb, ca, max_iterations=9, **common).error)
-    # perturb the timed input (f32-surviving) so a relayed backend
-    # cannot serve the warmed dispatch from its dedup cache
-    cb_t = pad_cloud((pts * (1.0 + 1e-5)).astype(np.float32))
+
+    def presort_pair(mv_pts):
+        b = pad_cloud(mv_pts)
+        a = pad_cloud(moved)
+        bp = np.zeros(b.points.shape, np.float32)
+        bp[: len(mv_pts)] = mv_pts
+        ap = np.zeros(a.points.shape, np.float32)
+        ap[: len(moved)] = moved
+        bs = bp[host_morton_order(bp, len(mv_pts))]
+        as_ = ap[host_morton_order(ap, len(moved))]
+        return (Cloud(jnp.asarray(bs), b.count),
+                Cloud(jnp.asarray(as_), a.count))
+
+    # warm up compilation on a perturbed pair (same shapes/statics)
+    cb_w, ca_w = presort_pair((pts * (1.0 + 2e-5)).astype(np.float32))
+    float(cpd_register_chunked(cb_w, ca_w, max_iterations=15,
+                               **common).error)
+
     t0 = _time.perf_counter()
-    res = cpd_register(cb_t, ca, max_iterations=15, **common)
+    cb_s, ca_s = presort_pair(pts)
+    res = cpd_register_chunked(cb_s, ca_s, max_iterations=15, **common)
     err = float(res.error)  # device->host read brackets completion
     wall = _time.perf_counter() - t0
     rot = np.asarray(res.transform.rotation)
     tr = np.asarray(res.transform.translation)
-    # evaluate with the perturbed moving cloud the timed run actually saw
-    pts_t = np.asarray(cb_t.points[: len(pts)])
     target = pts @ r.T + t
-    gt_mse = float(np.mean(np.sum((pts_t @ rot.T + tr - target) ** 2, -1)))
-    results["hybrid_15iter_wall_s"] = round(wall, 1)
+    gt_mse = float(np.mean(np.sum((pts @ rot.T + tr - target) ** 2, -1)))
+    results["hybrid_15iter_wall_s"] = round(wall, 2)
     results["hybrid_15iter_gt_mse"] = round(gt_mse, 5)
     # scale-free accuracy: gt-MSE relative to the squared cloud spread
     # (the cloud is normalized to spread 10, so /100)
     results["hybrid_15iter_gt_mse_rel_spread2"] = round(gt_mse / 100.0, 9)
     results["hybrid_15iter_iterations"] = int(res.iterations)
     print(
-        f"hybrid 15-iter run: {wall:.1f} s wall, gt-MSE {gt_mse:.5f}, "
+        f"hybrid 15-iter run: {wall:.2f} s wall, gt-MSE {gt_mse:.5f}, "
         f"err {err:.5f}", flush=True
     )
 
+    # --- wall budget: phase counts from a history-recording single
+    # dispatch + the per-stage rates measured above -------------------
+    hist_run = cpd_register(
+        cb_s, ca_s, max_iterations=15, weight=0.1, const_scale=True,
+        tolerance=1e-4, approximation_type=ApproximationType.Hybrid,
+        assume_sorted=True, record_history=True,
+    )
+    iters_h = int(hist_run.iterations)
+    hist = np.asarray(hist_run.history)[:iters_h]
+    thr = float(hybrid_fast_threshold(cb_s, ca_s))
+    # phase of iteration i is decided on its PRE-update sigma^2
+    # (sigma2_0 for i=1 — trivially above the 0.015*sigma2_0 switch —
+    # then history row i-2)
+    pre_sigma2 = np.concatenate([[np.inf], hist[:-1, 0]])
+    n_fast = int(np.sum(pre_sigma2 > thr))
+    n_slow = iters_h - n_fast
+    budget = {
+        "iterations": iters_h,
+        "fast_iters": n_fast,
+        "slow_iters": n_slow,
+        "fgt_phase_s": round(n_fast * results["estep_fgt_s_per_iter"], 2),
+        # slow-phase bounds: every slow iteration costs between the
+        # late-truncation and at-switch candidate-kernel rates
+        "slow_phase_s_lo": round(
+            n_slow * results["estep_cand_late_trunc_s_per_iter"], 2
+        ),
+        "slow_phase_s_hi": round(
+            n_slow * results["estep_cand_hybrid_switch_s_per_iter"], 2
+        ),
+        "msteps_s": round(iters_h * dt_m, 2),
+        "wall_s": results["hybrid_15iter_wall_s"],
+    }
+    budget["accounted_s_lo"] = round(
+        budget["fgt_phase_s"] + budget["slow_phase_s_lo"]
+        + budget["msteps_s"], 2
+    )
+    budget["accounted_s_hi"] = round(
+        budget["fgt_phase_s"] + budget["slow_phase_s_hi"]
+        + budget["msteps_s"], 2
+    )
+    budget["residual_s"] = round(
+        budget["wall_s"] - budget["accounted_s_hi"], 2
+    )
+    results["budget"] = budget
+    print(f"budget: {json.dumps(budget)}", flush=True)
+
+    suffix = "_1m" if size >= 1_000_000 else ""
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "..", "bench_results", "cpd_large.json",
+        "..", "bench_results", f"cpd_large{suffix}.json",
     )
     with open(os.path.abspath(out), "w") as fh:
         json.dump(results, fh, indent=1)

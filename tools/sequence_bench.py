@@ -130,21 +130,35 @@ def main():
 
     results = {"n_scans": n_scans, "n_points": n_points}
 
-    def run_case(label, warm=True, **kw):
+    def run_case(label, warm=True, reps=3, **kw):
+        """Median-of-``reps`` walls (each rep a DISTINCT perturbed
+        stream, so the relay cannot dedup) — single timed calls through
+        the relay measured +-0.3 s run-to-run on identical configs."""
         if warm:
             register_sequence(warm_scans, max_iterations=50, eps=1e-4,
                               **kw)
-        t0 = time.perf_counter()
-        out = register_sequence(scans, max_iterations=50, eps=1e-4, **kw)
-        wall = time.perf_counter() - t0
-        iters = np.asarray(out.iterations)
-        drifts = drift_rms(parent, poses, out, n_scans)
+        walls = []
+        for rep in range(reps):
+            rep_scans = (
+                scans if rep == 0 else
+                [(s * np.float32(1.0 + 1e-5 * (rep + 1))) for s in scans]
+            )
+            t0 = time.perf_counter()
+            out = register_sequence(rep_scans, max_iterations=50,
+                                    eps=1e-4, **kw)
+            walls.append(time.perf_counter() - t0)
+            if rep == 0:
+                iters = np.asarray(out.iterations)
+                drifts = drift_rms(parent, poses, out, n_scans)
+        wall = sorted(walls)[len(walls) // 2]
         results[f"{label}_wall_s"] = round(wall, 2)
+        results[f"{label}_wall_all_s"] = [round(w, 2) for w in walls]
         results[f"{label}_scans_per_sec"] = round((n_scans - 1) / wall, 2)
         results[f"{label}_mean_iters"] = round(float(iters.mean()), 1)
         results[f"{label}_final_drift_rms"] = round(drifts[-1], 4)
         print(
-            f"{label}: {wall:.2f} s ({(n_scans-1)/wall:.2f} scans/s), "
+            f"{label}: {wall:.2f} s median of {walls} "
+            f"({(n_scans-1)/wall:.2f} scans/s), "
             f"mean iters {iters.mean():.1f}, "
             f"final drift RMS {drifts[-1]:.4f}",
             flush=True,
@@ -156,9 +170,85 @@ def main():
     if not cpu_smoke:
         run_case("perpair_seeded", scan=False, seed_with_previous=True)
     if sweep:
-        for p in (2, 4, 8, 12):
+        for p in (0, 2, 4, 8, 12):
+            # patience=0 = the reference divergence-guard contract on
+            # seeded pairs (the r3 numerics measured it harmful; the
+            # sweep re-checks under eps-convergent round-5 numerics)
             run_case(f"scan_patience{p}", seed_with_previous=True,
                      patience=p)
+
+    if not cpu_smoke:
+        # --- wall breakdown: host prep+transfer vs the scan program ---
+        # times the jitted scan alone on pre-staged device arrays (the
+        # residual between the sum of parts and the end-to-end wall is
+        # Python driver + carry threading)
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax.numpy as jnp
+
+        from tpuslam.algorithms import sequence as seqmod
+        from tpuslam.harness.measure import timeit as _timeit
+        from tpuslam.ops.nn_hier import auto_tile_params
+
+        npad = 102_400
+        g, gsrc, l_budget = auto_tile_params(npad)
+
+        # measured H2D floor: the whole stream's bytes in ONE put (the
+        # relay serializes transfers with compute, so this bounds any
+        # end-to-end wall from below together with the program time)
+        stacked = np.stack(scans)
+        float(jax.device_put(stacked)[0, 0, 0])  # warm the path
+        t0 = time.perf_counter()
+        float(jax.device_put(stacked * np.float32(1.0 + 1e-5))[0, 0, 0])
+        results["h2d_stream_s"] = round(time.perf_counter() - t0, 3)
+        results["h2d_stream_mb"] = round(stacked.nbytes / 1e6, 1)
+
+        def prep_one(a):
+            order = seqmod._host_morton_order(a, len(a))
+            return a[order]
+
+        # warm the per-cloud path + stack program, then time it
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            pts = jnp.stack([jax.device_put(p)
+                             for p in pool.map(prep_one, scans)])
+        float(pts[0, 0, 0])
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            pts_dev = [jax.device_put(p * np.float32(1.0 + 1e-5))
+                       for p in pool.map(prep_one, scans)]
+        pts = jnp.stack(pts_dev)
+        float(pts[0, 0, 0])  # drain transfers
+        results["prep_transfer_s"] = round(time.perf_counter() - t0, 3)
+        counts = jnp.full((n_scans,), npad, jnp.int32)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        zero = jnp.zeros((3,), jnp.float32)
+
+        def scan_only(i):
+            outs = seqmod._register_pairs_scanned(
+                pts * (1.0 + 1e-5 * i), counts, eye, zero,
+                jnp.float32(1e-4), jnp.float32(1000.0), jnp.int32(50),
+                use_spatial=True, patience=8, g=g, gsrc=gsrc,
+                l_budget=l_budget, interpret=False, use_pallas=None,
+                seeded=True,
+            )
+            return outs[3]
+
+        dt = _timeit(scan_only, reps=3)
+        results["scan_program_s"] = round(dt, 3)
+        # a streaming SLAM pipeline holds scans device-resident (each
+        # scan is transferred ONCE as it arrives); this is its
+        # sustained registration rate
+        results["device_resident_pairs_per_sec"] = round(
+            (n_scans - 1) / dt, 1
+        )
+        print(
+            f"breakdown: h2d {results['h2d_stream_s']} s for "
+            f"{results['h2d_stream_mb']} MB, "
+            f"prep+transfer {results['prep_transfer_s']} s, "
+            f"scan program {dt:.3f} s "
+            f"({(n_scans-1)/dt:.1f} pairs/s device-resident)",
+            flush=True,
+        )
 
     if "perpair_seeded_wall_s" in results:
         results["dispatch_amortization_speedup"] = round(

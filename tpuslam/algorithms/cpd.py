@@ -935,7 +935,11 @@ def cpd_register_chunked(
     # Pre-sort ONCE for every chunk (fingerprints above already bound to
     # the caller's row order; the EM result is row-order invariant and
     # CPDResume carries no per-row state, so sorting here is transparent)
-    if kwargs.get("use_pallas") if kwargs.get("use_pallas") is not None \
+    if kwargs.get("assume_sorted"):
+        pass  # caller pre-sorted (e.g. a ~30 ms host argsort instead of
+        # the ~0.4 s on-device sort at mustang scale, ops.spatial.
+        # host_morton_order) — the rows are already in Morton order
+    elif kwargs.get("use_pallas") if kwargs.get("use_pallas") is not None \
             else jax.default_backend() == "tpu":
         before = _morton_sort_cloud(before)
         after = _morton_sort_cloud(after)

@@ -88,6 +88,7 @@ def icp_chunk_size(
 def cpd_chunk_size(
     n_max: int, m_max: int, max_iterations: int, backend: str,
     chunk_env=None, fgt_fast_phase: bool = False,
+    truncated_slow: bool = False,
 ) -> int:
     """EM iterations per dispatch for chunked CPD (0 = whole loop).
 
@@ -127,7 +128,14 @@ def cpd_chunk_size(
     if fgt_fast_phase:
         points = max(n_max + m_max, 1)
         return max(1, min(50, int(6.0 / (points * 4e-7))))
-    return max(1, min(50, int(2e11 // pairs)))
+    # Hybrid's slow phase always truncates, which runs the candidate
+    # (tile-skipping) kernel at a measured >=2.4x the dense-exact rate
+    # at mustang scale (bench_results/cpd_large.json estep_cand rows);
+    # its dispatch budget is scaled to keep ~5 s of device time at the
+    # WORST measured truncated rate rather than starving each dispatch
+    # to 1 iteration on the dense budget
+    budget = 1.2e12 if truncated_slow else 2e11
+    return max(1, min(50, int(budget // pairs)))
 
 
 @register(ComputationMethod.Icp)
@@ -284,10 +292,18 @@ def _run_cpd(
         jax.default_backend(), chunk_env,
         # Full-with-FGT runs the device FGT EVERY iteration, so its one
         # chunk size is the FGT-rate size; Hybrid sizes its slow
-        # (exact-kernel) dispatches here and its fast dispatches below
+        # (truncated candidate-kernel) dispatches here and its fast
+        # dispatches below
         fgt_fast_phase=(
             fgt_fast
             and config.approximation_type == ApproximationType.Full
+        ),
+        # only when the fast phase is the FGT: hybrid-below-crossover
+        # runs its WIDE (untruncated, dense-rate) fast phase on this
+        # same chunk size, so it keeps the dense budget
+        truncated_slow=(
+            fgt_fast
+            and config.approximation_type == ApproximationType.Hybrid
         ),
     )
     chunk_fast = None

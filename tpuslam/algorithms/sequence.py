@@ -97,35 +97,7 @@ def _invert(t: RigidTransform) -> RigidTransform:
                           scale=np.float32(1.0))
 
 
-def _host_morton_order(points: np.ndarray, n_valid: int) -> np.ndarray:
-    """Host-side replica of ``ops.spatial.morton_codes`` + stable
-    argsort (invalid/padded rows last).  Performance-only: the sorted
-    order feeds tile compactness; the NN results are exact for ANY row
-    order, so host/device float quirks cannot change results."""
-    n = len(points)
-    codes = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-    if n_valid > 0:
-        pts = points[:n_valid].astype(np.float32)
-        lo = pts.min(axis=0)
-        extent = np.maximum(pts.max(axis=0) - lo, 1e-12)
-        q = np.clip(
-            ((pts - lo) / extent * 1023.0).astype(np.int64), 0, 1023
-        )
-
-        def part1by2(x):
-            x = x & 0x3FF
-            x = (x | (x << 16)) & 0x030000FF
-            x = (x | (x << 8)) & 0x0300F00F
-            x = (x | (x << 4)) & 0x030C30C3
-            x = (x | (x << 2)) & 0x09249249
-            return x
-
-        codes[:n_valid] = (
-            part1by2(q[:, 0])
-            | (part1by2(q[:, 1]) << 1)
-            | (part1by2(q[:, 2]) << 2)
-        )
-    return np.argsort(codes, kind="stable")
+from tpuslam.ops.spatial import host_morton_order as _host_morton_order
 
 
 @partial(
@@ -137,7 +109,6 @@ def _host_morton_order(points: np.ndarray, n_valid: int) -> np.ndarray:
 )
 def _register_pairs_scanned(
     pts: jnp.ndarray,  # f32[S, P, 3] (Morton-sorted per cloud if spatial)
-    msk: jnp.ndarray,  # f32[S, P]
     counts: jnp.ndarray,  # i32[S]
     seed_r: jnp.ndarray,  # f32[3, 3] — carry entering this chunk
     seed_t: jnp.ndarray,  # f32[3]
@@ -158,7 +129,15 @@ def _register_pairs_scanned(
     cloud, no in-loop argsort — rows arrive presorted), then a
     ``lax.scan`` whose carry is the previous pair's relative transform
     and whose step runs the shared ``_icp_loop``.  Returns stacked
-    (rotations, translations, iterations, errors)."""
+    (rotations, translations, iterations, errors).
+
+    Masks are built IN-program from ``counts`` (valid rows always come
+    first — the host Morton sort keeps invalid rows last), saving an
+    f32[S, P] host->device transfer."""
+    msk = (
+        jnp.arange(pts.shape[1], dtype=jnp.int32)[None, :]
+        < counts[:, None]
+    ).astype(jnp.float32)
     if use_spatial:
         from tpuslam.ops.nn_hier import (
             hier_state_init,
@@ -289,39 +268,55 @@ def _register_sequence_scanned(
         patience = SEED_PATIENCE if seed_with_previous else 0
 
     s = len(arrs)
-    pts_h = np.zeros((s, npad, 3), np.float32)
-    msk_h = np.zeros((s, npad), np.float32)
-    counts_h = np.zeros((s,), np.int32)
-    for k, a in enumerate(arrs):
-        n = len(a)
-        if use_spatial:
-            padded = np.zeros((npad, 3), np.float32)
-            padded[:n] = a
-            order = _host_morton_order(padded, n)
-            pts_h[k] = padded[order]
-            # invalid rows carry the largest code -> sorted last, so
-            # the count-prefix mask stays valid on the sorted rows
-        else:
-            pts_h[k, :n] = a
-        msk_h[k, :n] = 1.0
-        counts_h[k] = n
+    counts_h = np.asarray([len(a) for a in arrs], np.int32)
 
-    pts = jnp.asarray(pts_h)
-    msk = jnp.asarray(msk_h)
+    def prep_one(a):
+        if len(a) == npad and use_spatial:
+            # full cloud: the sort gather below produces the fresh
+            # array — skip the pad memcpy
+            return a[_host_morton_order(a, npad)]
+        padded = np.zeros((npad, 3), np.float32)
+        padded[: len(a)] = a
+        if use_spatial:
+            order = _host_morton_order(padded, len(a))
+            padded = padded[order]
+            # invalid rows carry the largest code -> sorted last, so
+            # the count-prefix (in-program) mask stays valid on the
+            # sorted rows
+        return padded
+
+    # sort clouds in a thread pool (argsort releases the GIL) and start
+    # each cloud's H2D transfer as soon as it is ready (device_put is
+    # async), so transfer overlaps the remaining host sorts — at 20 x
+    # 100k the serial version spent ~160 ms sorting THEN ~200 ms
+    # transferring on the timed critical path
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        pts_dev = [
+            jax.device_put(p) for p in pool.map(prep_one, arrs)
+        ]
     counts = jnp.asarray(counts_h)
     eps_d = jnp.float32(eps)
     max_d2_d = jnp.float32(max_distance_squared)
     max_it_d = jnp.int32(max_iterations)
 
     n_pairs = s - 1
-    chunk = pairs_per_dispatch or _scan_pairs_per_dispatch(npad, patience)
+    # cap pairs-per-dispatch at 8 even when the device-time budget
+    # allows more: the per-chunk dispatches queue asynchronously (the
+    # seed carry is a device array; nothing syncs until the final
+    # reads), so later clouds' H2D transfers overlap earlier chunks'
+    # compute instead of serializing transfer-then-compute
+    chunk = pairs_per_dispatch or min(
+        8, _scan_pairs_per_dispatch(npad, patience)
+    )
     seed_r = jnp.eye(3, dtype=jnp.float32)
     seed_t = jnp.zeros((3,), jnp.float32)
     rot_l, tr_l, it_l, er_l = [], [], [], []
     for start in range(0, n_pairs, chunk):
         stop = min(start + chunk, n_pairs)
         outs = _register_pairs_scanned(
-            pts[start:stop + 1], msk[start:stop + 1],
+            jnp.stack(pts_dev[start:stop + 1]),
             counts[start:stop + 1],
             seed_r, seed_t, eps_d, max_d2_d, max_it_d,
             use_spatial=use_spatial, patience=patience,

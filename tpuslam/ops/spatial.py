@@ -67,6 +67,46 @@ def morton_permutation(
     ).astype(jnp.int32)
 
 
+def host_morton_order(points, n_valid: int):
+    """Host-side (NumPy) replica of ``morton_codes`` + stable argsort,
+    invalid/padded rows last.  Performance-only: sorted order feeds tile
+    compactness / candidate-block locality; every consumer's results are
+    exact for ANY row order, so host/device float quirks cannot change
+    results.  A NumPy argsort at 376k costs ~30 ms where the TPU sort
+    costs ~0.4 s and, unlike the device sort, runs off the accelerator's
+    critical path (used by the scanned sequence lowering and the chunked
+    CPD driver's pre-sort)."""
+    import numpy as np
+
+    n = len(points)
+    # 30-bit codes fit int32; int32 throughout roughly halves the
+    # bit-twiddling and sort cost vs int64 on the host
+    codes = np.full(n, np.int32(2**31 - 1), dtype=np.int32)
+    if n_valid > 0:
+        pts = np.asarray(points[:n_valid], np.float32)
+        lo = pts.min(axis=0)
+        extent = np.maximum(pts.max(axis=0) - lo, 1e-12)
+        q = np.clip(
+            ((pts - lo) * (np.float32(1023.0) / extent)).astype(np.int32),
+            0, 1023,
+        )
+
+        def part1by2(x):
+            x = x & np.int32(0x3FF)
+            x = (x | (x << 16)) & np.int32(0x030000FF)
+            x = (x | (x << 8)) & np.int32(0x0300F00F)
+            x = (x | (x << 4)) & np.int32(0x030C30C3)
+            x = (x | (x << 2)) & np.int32(0x09249249)
+            return x
+
+        codes[:n_valid] = (
+            part1by2(q[:, 0])
+            | (part1by2(q[:, 1]) << 1)
+            | (part1by2(q[:, 2]) << 2)
+        )
+    return np.argsort(codes, kind="stable")
+
+
 class TileBounds(NamedTuple):
     centers: jnp.ndarray  # f32[T, 3]
     radii: jnp.ndarray  # f32[T] — bounding-sphere radius (to bbox corner)
