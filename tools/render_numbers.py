@@ -39,7 +39,8 @@ def artifacts():
     cl = _load("bench_results/cpd_large.json")
     seq = _load("bench_results/sequence_100k.json")
     bp = _load("bench_results/batch_parity.json")
-    a = {"br": br, "cl": cl, "seq": seq, "bp": bp}
+    cl1m = _load("bench_results/cpd_large_1m.json")
+    a = {"br": br, "cl": cl, "seq": seq, "bp": bp, "cl1m": cl1m}
     return a
 
 
@@ -106,11 +107,25 @@ def readme_table(a):
     if a["seq"]:
         s = a["seq"]
         rows.append((
-            "Sequence odometry, 20 scans x 100k (constant-velocity seed)",
-            f"{fmt(s['seeded_scans_per_sec'], 2)} scans/s, mean "
-            f"{fmt(s['seeded_mean_iters'])} iters/pair "
-            f"({fmt(s['seed_speedup'], 2)}x vs unseeded)",
+            "Sequence odometry, 20 scans x 100k (in-program scan "
+            "lowering, constant-velocity seed)",
+            f"{fmt(s['scan_seeded_scans_per_sec'], 1)} scans/s "
+            f"end-to-end incl. all H2D "
+            f"({fmt(s['device_resident_pairs_per_sec'], 0)} pairs/s "
+            f"device-resident; "
+            f"{fmt(s['dispatch_amortization_speedup'], 1)}x vs per-pair "
+            f"dispatch)",
             "(no sequence mode)", "—"))
+    if a.get("cl1m"):
+        c = a["cl1m"]
+        rows.append((
+            f"CPD hybrid registration @ 1.3M (airbus-scale)",
+            f"{fmt(c['hybrid_15iter_wall_s'])} s / "
+            f"{c['hybrid_15iter_iterations']} iters, gt-MSE "
+            f"{c['hybrid_15iter_gt_mse']:g}; FGT E-step "
+            f"{fmt(c['estep_fgt_s_per_iter'], 2)} s/iter vs exact "
+            f"{fmt(c['estep_exact_s_per_iter'], 2)} s",
+            "(GPU CPD never run past ~1k, `testset.cpp:63`)", "—"))
     lines = []
     for name, ours, ref, speedup in rows:
         lines.append(f"| {name} | {ours} | {ref} | {speedup} |")

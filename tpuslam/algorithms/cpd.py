@@ -269,6 +269,7 @@ def cpd_estep_fgt(
     fgt_p: int,
     ratio_of_far_field: float,
     sigma2_init: jnp.ndarray | None = None,
+    clusters=None,
 ) -> Sufficient:
     """FGT-approximated E-step (``ComputePMatrixWithFGT``,
     ``cpdutils.cpp:19-73``): five Gauss transforms — Kt1 for the
@@ -281,6 +282,14 @@ def cpd_estep_fgt(
     ``K = min(N, M, 50 + sigma0^2/sigma^2)`` (``cpdutils.cpp:35``) via
     runtime masking in ``k_center`` (clusters past the live count get no
     assignments and zero expansion weight).
+
+    ``clusters``: precomputed ``(centers_y, indx_y, centers_x, indx_x)``
+    — the EM loop's cross-iteration clustering cache (``cpd_register``
+    transforms the cached moving-side centers instead of re-selecting;
+    see ``ops.fgt.compute_fgt_model_multi``).  The cached path always
+    uses all ``fgt_k`` centers — a strictly TIGHTER approximation than
+    the reference's adaptive live count, which exists to bound its CPU
+    cost, not its accuracy.
     """
     from tpuslam.ops.fgt import (
         FGTModel,
@@ -289,7 +298,7 @@ def cpd_estep_fgt(
         fgt_predict_multi,
     )
 
-    if sigma2_init is not None:
+    if sigma2_init is not None and clusters is None:
         k_rt = jnp.minimum(
             jnp.minimum(m, n),
             50.0 + sigma2_init / jnp.maximum(sigma2, 1e-20),
@@ -297,10 +306,14 @@ def cpd_estep_fgt(
         k_rt = jnp.clip(k_rt, 1, fgt_k)
     else:
         k_rt = None
+    cl_y = cl_x = None
+    if clusters is not None:
+        cl_y = (clusters[0], clusters[1])
+        cl_x = (clusters[2], clusters[3])
     hsigma = jnp.sqrt(2.0 * sigma2)
     model_y = compute_fgt_model_multi(
         transformed, moving_mask[:, None], moving_mask, hsigma, fgt_k,
-        fgt_p, k_rt,
+        fgt_p, k_rt, clustering=cl_y,
     )
     kt1 = fgt_predict(
         target,
@@ -317,7 +330,8 @@ def cpd_estep_fgt(
         [inv_denom[:, None], target * inv_denom[:, None]], axis=1
     )
     model_x = compute_fgt_model_multi(
-        target, weights4, target_mask, hsigma, fgt_k, fgt_p, k_rt
+        target, weights4, target_mask, hsigma, fgt_k, fgt_p, k_rt,
+        clustering=cl_x,
     )
     out = fgt_predict_multi(
         transformed, model_x, hsigma, ratio_of_far_field, fgt_p
@@ -559,12 +573,35 @@ def cpd_register(
             jnp.logical_and(s.ntol > tolerance, s.sigma2 > eps),
         )
 
-    def fgt_stats(transformed, sigma_e):
+    # cross-iteration FGT clustering cache: the farthest-point
+    # selection is 127 sequential O(N) argmax steps, ~2x55 ms of the
+    # 288 ms E-step at 376k (bench_results/fgt_stages.json).  The
+    # target's clustering is a constant of the run; the moving cloud's
+    # ASSIGNMENTS are invariant under EM's similarity transforms
+    # (uniform distance scaling preserves the pick order and
+    # nearest-center partition), and its centers — segment means —
+    # transform exactly with the cloud.  Selected ONCE here, outside
+    # the loop.
+    fgt_kk = min(fgt_k, before.padded_size, after.padded_size)
+    will_fgt = use_fgt and approximation_type in (
+        ApproximationType.Full, ApproximationType.Hybrid,
+    )
+    if will_fgt:
+        from tpuslam.ops.fgt import k_center
+
+        centers_y0, indx_y = k_center(moving, mask_b, fgt_kk)
+        centers_x, indx_x = k_center(target, mask_a, fgt_kk)
+
+    def fgt_stats(transformed, sigma_e, s: CPDState):
+        centers_y = transform_points(
+            centers_y0, s.rotation, s.translation, s.scale
+        )
         return cpd_estep_fgt(
             transformed, mask_b, target, mask_a, sigma_e, weight, m, n,
-            min(fgt_k, before.padded_size, after.padded_size),
+            fgt_kk,
             order_of_truncation, ratio_of_far_field,
             sigma2_init=sigma2_0,
+            clusters=(centers_y, indx_y, centers_x, indx_x),
         )
 
     # Hybrid with true FGT runs as TWO specialized while_loops under an
@@ -605,7 +642,7 @@ def cpd_register(
             # constant from the *current* sigma^2 (cpdutils.cpp:44)
             sigma_e = jnp.maximum(s.sigma2, 0.05)
             if use_fgt:
-                stats = fgt_stats(transformed, sigma_e)
+                stats = fgt_stats(transformed, sigma_e, s)
             else:
                 stats = cpd_estep_auto(
                     transformed, mask_b, target, mask_a, sigma_e,
@@ -614,7 +651,7 @@ def cpd_register(
                 )
         elif hybrid_split:  # Hybrid (coherentpointdrift.cpp:157-164)
             if fast_phase is True:
-                stats = fgt_stats(transformed, s.sigma2)
+                stats = fgt_stats(transformed, s.sigma2, s)
             elif fast_phase is False:
                 stats = cpd_estep_auto(
                     transformed, mask_b, target, mask_a, s.sigma2,
@@ -623,7 +660,7 @@ def cpd_register(
             else:  # the multi-bounce fallback body (see loop build)
                 stats = jax.lax.cond(
                     s.sigma2 > 0.015 * sigma2_0,
-                    lambda: fgt_stats(transformed, s.sigma2),
+                    lambda: fgt_stats(transformed, s.sigma2, s),
                     lambda: cpd_estep_auto(
                         transformed, mask_b, target, mask_a, s.sigma2,
                         c_init, jnp.asarray(True),

@@ -14,12 +14,17 @@ SEQUENCE of scans, each close to its predecessor.  Three lowerings:
   patience best-so-far semantics.  This is the dispatch-amortized
   path: the round-4 per-pair lowering measured ~97% of its wall in
   per-pair dispatch latency + host round-trips (9.7x iteration savings
-  bought 1.07x wall, ``bench_results/sequence_100k.json`` r4); here
-  one dispatch covers ``pairs_per_dispatch`` pairs and only the final
-  stacked results cross the host boundary.  Morton sorting is done
-  ONCE per cloud on the host (performance-only — the NN result is
-  order-exact regardless), shared between the cloud's source and
-  target roles.
+  bought 1.07x wall).  Measured on the chip at 20 scans x 100k
+  (``bench_results/sequence_100k.json``, round 5): 17-22 scans/s
+  end-to-end including every H2D byte (vs 5.9 per-pair in the same
+  recording — ~3x), and the scan program alone registers **67
+  pairs/s** device-resident; the remaining end-to-end wall is the
+  stream's 24 MB H2D at the relay's measured ~20-40 MB/s, which the
+  per-chunk async dispatch overlaps with compute as far as the link
+  allows.  Morton sorting is done ONCE per cloud on the host, in a
+  thread pool, overlapped with the transfers (performance-only — the
+  NN result is order-exact regardless), shared between the cloud's
+  source and target roles.
 * **per-pair** (``scan=False``): consecutive pairs run through
   ``icp_register`` one by one, seeded through the ``ICPResume`` carry.
   All pairs share one padded shape; note the two static signatures
@@ -59,11 +64,13 @@ from tpuslam.core.types import Cloud, RigidTransform, pad_cloud, round_up
 # error fluctuates, so the reference's stop-on-first-error-increase
 # guard fires on noise after ~2 iterations and returns seed quality
 # (measured drift RMS 3.1 vs 0.50 unseeded at 20x100k,
-# tools/probe_seq_seed.py); an estimated seed can also plateau for a
-# few iterations before descending further, so patience must ride out
-# the plateau.  8 was tuned under the round-3 numerics; the round-5
-# chip sweep (tools/sequence_bench.py --patience-sweep) re-measures
-# the accuracy/wall trade under the exact-f32 transforms.
+# tools/probe_seq_seed.py, round-3 numerics); an estimated seed can
+# also plateau for a few iterations before descending further, so
+# patience must ride out the plateau.  Round-5 chip sweep (patience
+# 0/2/4/8/12, tools/sequence_bench.py --patience-sweep): under the
+# exact-f32 transforms every setting converges via eps in ~1
+# iteration/pair with IDENTICAL drift, so patience is now a safety
+# margin for eps-unreachable noise floors, not a tuning knob; 8 kept.
 SEED_PATIENCE = 8
 
 

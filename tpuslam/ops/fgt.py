@@ -181,6 +181,7 @@ def compute_fgt_model_multi(
     k: int,
     p: int,
     k_rt: jnp.ndarray | None = None,
+    clustering: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> FGTModel:
     """Batched-weights model: ``weights`` f32[N, W] -> ``ak`` f32[K, pd, W].
 
@@ -188,8 +189,22 @@ def compute_fgt_model_multi(
     K-center clustering) once per weight vector — five times per CPD
     E-step (``cpdutils.cpp:41-66``); clustering is weight-independent, so
     one clustering + one batched expansion replaces all five.
-    ``k_rt`` limits the live center count at runtime (see ``k_center``)."""
-    centers, indx = k_center(points, mask, k, k_rt)
+    ``k_rt`` limits the live center count at runtime (see ``k_center``).
+
+    ``clustering``: precomputed ``(centers f32[k,3], indx i32[N])``
+    skips the farthest-point selection entirely — the EM loop's
+    optimization (``cpd_register``): the target's clustering never
+    changes, and the moving cloud's assignments are invariant under the
+    similarity transforms EM applies (distances scale uniformly, so the
+    farthest-point pick order and nearest-center assignments are
+    preserved; the cached segment-mean centers transform exactly, since
+    the mean commutes with affine maps).  The selection is 127
+    sequential O(N) argmax steps — measured 55 ms of the 288 ms E-step
+    at 376k, paid twice (``bench_results/fgt_stages.json``)."""
+    if clustering is None:
+        centers, indx = k_center(points, mask, k, k_rt)
+    else:
+        centers, indx = clustering
     dy = (points - centers[indx]) / sigma
     g = jnp.exp(-jnp.sum(dy * dy, axis=-1)) * mask
     prods = _monomials(dy, p)  # [N, pd]
@@ -206,7 +221,7 @@ def fgt_predict(
     sigma: jnp.ndarray,
     e_param: float,
     p: int,
-    chunk: int = 256,
+    chunk: int = 1024,
 ) -> jnp.ndarray:
     """``ComputeFGTPredict`` (``fgt.cpp:90-145``): f32[M] approximate
     Gauss-transform values; clusters beyond the far-field radius
@@ -222,9 +237,16 @@ def fgt_predict_multi(
     sigma: jnp.ndarray,
     e_param: float,
     p: int,
-    chunk: int = 256,
+    chunk: int = 1024,
 ) -> jnp.ndarray:
-    """Batched-weights prediction: ``ak`` f32[K, pd, W] -> f32[M, W]."""
+    """Batched-weights prediction: ``ak`` f32[K, pd, W] -> f32[M, W].
+
+    ``chunk``: targets per ``lax.map`` step.  1024 (up from the
+    round-3 256) quarters the sequential step count — at 376k the
+    W=4 predict was 1470 steps whose per-step machinery, not the
+    contraction FLOPs, dominated (``bench_results/fgt_stages.json``);
+    the [chunk, K, pd] monomial intermediate stays a ~63 MB HBM
+    tensor, far from any limit."""
     m = targets.shape[0]
     e_param = jnp.float32(e_param)
 
