@@ -240,6 +240,7 @@ def main() -> None:
 
     t0 = _time.perf_counter()
     cb_s, ca_s = presort_pair(pts)
+    t_sort = _time.perf_counter() - t0  # host sort/pad (H2D is async)
     res = cpd_register_chunked(cb_s, ca_s, max_iterations=15, **common)
     err = float(res.error)  # device->host read brackets completion
     wall = _time.perf_counter() - t0
@@ -298,6 +299,7 @@ def main() -> None:
             2,
         ),
         "msteps_s": round(iters_h * dt_m, 2),
+        "host_presort_s": round(t_sort, 2),
         "wall_s": results["hybrid_15iter_wall_s"],
     }
     budget["accounted_s_lo"] = round(

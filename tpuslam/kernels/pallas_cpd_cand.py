@@ -132,13 +132,22 @@ def cpd_estep_cand(
     m = round_up(m0, _TILE)
     n = round_up(n0, _TILE)
     tn, tm = n // _TILE, m // _TILE
-    width_m = -(-min(tm, max(_BUDGET_NUM * tm // _BUDGET_DEN, 1)) // SLOTS
-                ) * SLOTS
-    width_n = -(-min(tn, max(_BUDGET_NUM * tn // _BUDGET_DEN, 1)) // SLOTS
-                ) * SLOTS
-    table_bytes = max(tn * width_m, tm * width_n) * 4
-    if tn < 2 or tm < 2 or table_bytes > _TABLE_SMEM_BYTES:
-        # too small to skip anything / table would overflow SMEM
+    # candidate-table width: the 5/8-of-blocks win threshold, CLAMPED so
+    # the scalar-prefetch table fits its SMEM budget at any size — at
+    # 1.3M (1270 blocks) the unclamped 800-wide table is 4 MB and the
+    # round-4 code fell back to the 13.3 s/iter dense kernel for EVERY
+    # truncated iteration (bench_results/cpd_large_1m.log r5); clamped
+    # (width 96 there) the truncated-sigma admissible sets still fit,
+    # and genuinely over-admitting blocks go through the fat-block
+    # dense-subset passes as before
+    smem_cap_m = max(_TABLE_SMEM_BYTES // 4 // max(tn, 1), SLOTS)
+    smem_cap_n = max(_TABLE_SMEM_BYTES // 4 // max(tm, 1), SLOTS)
+    width_m = -(-min(tm, max(_BUDGET_NUM * tm // _BUDGET_DEN, 1),
+                     smem_cap_m) // SLOTS) * SLOTS
+    width_n = -(-min(tn, max(_BUDGET_NUM * tn // _BUDGET_DEN, 1),
+                     smem_cap_n) // SLOTS) * SLOTS
+    if tn < 2 or tm < 2:
+        # too small to skip anything
         return cpd_estep_pallas(
             transformed, moving_mask, target, target_mask, sigma2,
             constant, trunc_active, truncate=truncate,
@@ -162,8 +171,15 @@ def cpd_estep_cand(
     # gives its 1024-row block a bounding sphere spanning half the cloud
     # (radius 0.32 on a 0.5-extent cloud, measured), which would admit
     # everything; at 128 rows only the one crossing sub-tile stays fat.
-    sub = _TILE // 8 if (tn * 8) * (tm * 8) <= 64 * 1024 * 1024 else _TILE
-    f_sub = _TILE // sub
+    # finest sub-tile granularity whose [Tn*f, Tm*f] bound matrix stays
+    # <= 64M elements (8 at <=~1M rows; 4 at 1.3M — still isolating the
+    # octant-crossing fat runs to 256-row sub-tiles instead of letting
+    # a whole 1024-row block go fat)
+    f_sub = next(
+        f for f in (8, 4, 2, 1)
+        if (tn * f) * (tm * f) <= 64 * 1024 * 1024
+    )
+    sub = _TILE // f_sub
     tb_n = tile_bounds(target, target_mask, sub)
     tb_m = tile_bounds(transformed, moving_mask, sub)
     diff = tb_n.centers[:, None, :] - tb_m.centers[None, :, :]

@@ -221,7 +221,7 @@ def fgt_predict(
     sigma: jnp.ndarray,
     e_param: float,
     p: int,
-    chunk: int = 1024,
+    chunk: int = 256,
 ) -> jnp.ndarray:
     """``ComputeFGTPredict`` (``fgt.cpp:90-145``): f32[M] approximate
     Gauss-transform values; clusters beyond the far-field radius
@@ -237,16 +237,17 @@ def fgt_predict_multi(
     sigma: jnp.ndarray,
     e_param: float,
     p: int,
-    chunk: int = 1024,
+    chunk: int = 256,
 ) -> jnp.ndarray:
     """Batched-weights prediction: ``ak`` f32[K, pd, W] -> f32[M, W].
 
-    ``chunk``: targets per ``lax.map`` step.  1024 (up from the
-    round-3 256) quarters the sequential step count — at 376k the
-    W=4 predict was 1470 steps whose per-step machinery, not the
-    contraction FLOPs, dominated (``bench_results/fgt_stages.json``);
-    the [chunk, K, pd] monomial intermediate stays a ~63 MB HBM
-    tensor, far from any limit."""
+    ``chunk``: targets per ``lax.map`` step.  256 is MEASURED, not a
+    guess: a round-5 attempt at 1024 (to quarter the sequential step
+    count) ran the 376k W=4 predict ~60% SLOWER end to end (0.29 ->
+    0.47 s/E-step uncached, bench_results/cpd_crossover.log r5) — the
+    [chunk, K, pd] monomial intermediate leaves fast memory and the
+    kernel goes HBM-bound; the per-step machinery the small chunk pays
+    is the cheaper side of the trade."""
     m = targets.shape[0]
     e_param = jnp.float32(e_param)
 
