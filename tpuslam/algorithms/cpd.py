@@ -75,7 +75,10 @@ _TWO_PI = 2.0 * math.pi
 # FGT — exactly the reference's ladder (coherentpointdrift.cpp:141-166,
 # cpdutils.cpp:19-73 run FGT for ALL fast-phase E-steps) — and below it
 # the exact MXU tiles are cheaper than the approximation.
-CPD_FGT_CROSSOVER = 82_500
+# 74k as of round 5: the cross-iteration clustering cache cut the
+# in-loop FGT cost ~1.4x at 376k (0.29 -> 0.21 s/iter), pulling the
+# crossover down from the round-4 82.5k
+CPD_FGT_CROSSOVER = 74_018
 
 
 def resolve_use_fgt(

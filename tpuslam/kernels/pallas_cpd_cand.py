@@ -61,9 +61,18 @@ _BUDGET_NUM, _BUDGET_DEN = 5, 8
 # scalar-prefetch tables live in SMEM (1 MB/core)
 _TABLE_SMEM_BYTES = 512 * 1024
 # budget of over-admitting ("fat") blocks served by the dense subset
-# passes; more than this (never seen in practice — the octant-crossing
-# Morton runs number ~3 at 376k) falls back to the full dense kernel
+# passes; more than the (size-scaled) budget falls back to the full
+# dense kernel.  8 sufficed through 376k (the top-level octant-crossing
+# Morton runs number ~3 there); at 1.3M the SMEM-clamped table width
+# (~104) is exceeded by every SECOND-level crossing run too (~60
+# blocks), so the budget scales as Tn/16 — the gathered dense subset
+# pass costs fat_max*TILE*M pairs ONLY when fats exist (lax.cond) and
+# stays ~1% of the dense kernel it replaces
 _FAT_MAX = 8
+
+
+def _fat_budget(t_blocks: int) -> int:
+    return max(_FAT_MAX, t_blocks // 16)
 
 
 def _denom_cand_kernel(counts_ref, cand_ref, sc_ref, xT_ref, *refs):
@@ -204,12 +213,12 @@ def cpd_estep_cand(
     counts_m = jnp.sum(adm, axis=0).astype(jnp.int32)  # per moving block
     # blocks whose candidate set overflows the table run through a
     # gathered DENSE subset pass instead (a handful of octant-crossing
-    # blocks in practice); only more than _FAT_MAX of them forces the
-    # full-dense fallback
+    # blocks in practice); only more than the size-scaled fat budget
+    # of them forces the full-dense fallback
     fat_n = counts_n > width_m
     fat_m = counts_m > width_n
     overflow = jnp.logical_or(
-        jnp.sum(fat_n) > _FAT_MAX, jnp.sum(fat_m) > _FAT_MAX
+        jnp.sum(fat_n) > _fat_budget(tn), jnp.sum(fat_m) > _fat_budget(tm)
     )
 
     ty = jnp.where(moving_mask[:, None] > 0, transformed, SENTINEL)
@@ -267,7 +276,7 @@ def cpd_estep_cand(
         # phase-1 pass on a gathered subset — same moving-block
         # accumulation order, so bit-identical to the full dense kernel
         def add_fat_n(d):
-            ids = jnp.nonzero(fat_n, size=_FAT_MAX, fill_value=tn)[0]
+            ids = jnp.nonzero(fat_n, size=_fat_budget(tn), fill_value=tn)[0]
             rows = (
                 ids[:, None] * _TILE
                 + jnp.arange(_TILE, dtype=ids.dtype)[None, :]
@@ -330,7 +339,7 @@ def cpd_estep_cand(
         # fat moving blocks: dense phase-2 on a gathered subset (same
         # target-block accumulation order -> bit-identical)
         def add_fat_m(a):
-            ids = jnp.nonzero(fat_m, size=_FAT_MAX, fill_value=tm)[0]
+            ids = jnp.nonzero(fat_m, size=_fat_budget(tm), fill_value=tm)[0]
             rows = (
                 ids[:, None] * _TILE
                 + jnp.arange(_TILE, dtype=ids.dtype)[None, :]
@@ -342,7 +351,7 @@ def cpd_estep_cand(
             a_sub = moments_pass_batch(
                 scalars, sub_ty[None], target[None], weights4[None],
                 interpret,
-            )[0]  # [4, _FAT_MAX * _TILE]
+            )[0]  # [4, fat_budget * _TILE]
             return a.at[:, rows].set(a_sub, mode="drop")
 
         acc = jax.lax.cond(
