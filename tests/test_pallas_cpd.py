@@ -1,6 +1,8 @@
 """Pallas CPD E-step vs the jnp oracle (interpret mode on CPU)."""
 
 import numpy as np
+
+from tpuslam.config.configuration import ApproximationType
 import pytest
 
 import jax.numpy as jnp
@@ -209,3 +211,110 @@ def test_cpd_estep_cand_fat_blocks_bitexact(rng, monkeypatch):
             err_msg=f,
         )
     cand_mod.cpd_estep_cand.clear_cache()
+
+
+def test_cand_checked_matches_plain(rng):
+    """checked=True returns the SAME statistics bits as the plain
+    wrapper's candidate branch (no lax.cond emitted), plus an overflow
+    flag: False under truncation at a size where the table fits, True
+    with truncation off (full admission)."""
+    import jax.numpy as jnp
+
+    from tpuslam.core.types import pad_cloud
+    from tpuslam.kernels.pallas_cpd_cand import cpd_estep_cand
+    from tpuslam.algorithms.cpd import sigma_squared_init, uniform_constant
+    from tpuslam.ops.spatial import morton_permutation
+
+    pts = (rng.random((4200, 3)) * 8.0).astype(np.float32)
+    c = pad_cloud(pts)
+    mask = (jnp.arange(c.points.shape[0]) < c.count).astype(jnp.float32)
+    perm = morton_permutation(c.points, mask)
+    mv, mk = c.points[perm], mask[perm]
+    s2 = sigma_squared_init(mv, mk, mv, mk) * 0.002  # tight -> skipping
+    const = uniform_constant(s2, 0.1, c.count, c.count)
+
+    plain = cpd_estep_cand(mv, mk, mv, mk, s2, const, jnp.asarray(True),
+                           interpret=True)
+    checked, ovf = cpd_estep_cand(mv, mk, mv, mk, s2, const,
+                                  jnp.asarray(True), interpret=True,
+                                  checked=True)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(plain.p1),
+                                  np.asarray(checked.p1))
+    np.testing.assert_array_equal(np.asarray(plain.px),
+                                  np.asarray(checked.px))
+    np.testing.assert_array_equal(np.asarray(plain.error),
+                                  np.asarray(checked.error))
+
+    # at this tiny block count (5) even full admission fits the table
+    # (width 8), so trunc-off must NOT flag overflow — and the stats
+    # must still equal the dense kernel's
+    wide, ovf_wide = cpd_estep_cand(mv, mk, mv, mk, s2, const,
+                                    jnp.asarray(False), interpret=True,
+                                    checked=True)
+    assert not bool(ovf_wide)
+    assert np.isfinite(float(wide.error))
+
+
+def test_hybrid_checked_slow_trajectory(rng):
+    """The checked slow-phase loop (pallas path) lands in the same
+    optimum as the jnp reference arm for a full Hybrid+FGT
+    registration (bit-parity is with the dense PALLAS kernel; the jnp
+    arm differs only by summation order)."""
+    from tests.conftest import random_rigid
+    from tpuslam.algorithms.cpd import cpd_register
+    from tpuslam.core.types import pad_cloud
+
+    before = (rng.random((700, 3)) * 6.0 - 3.0).astype(np.float32)
+    r, t = random_rigid(rng, angle=0.2, trans=0.4)
+    after = (before @ r.T + t)[rng.permutation(700)].astype(np.float32)
+    kw = dict(weight=0.1, max_iterations=40, tolerance=1e-6,
+              approximation_type=ApproximationType.Hybrid, use_fgt=True)
+    ref = cpd_register(pad_cloud(before), pad_cloud(after),
+                       use_pallas=False, **kw)
+    got = cpd_register(pad_cloud(before), pad_cloud(after),
+                       use_pallas=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got.transform.rotation),
+        np.asarray(ref.transform.rotation), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(got.transform.translation),
+        np.asarray(ref.transform.translation), atol=2e-3)
+
+
+@pytest.mark.parametrize("force_super", [(2, 2), (4, 2), (2, 4)])
+def test_cand_super_slots_bit_identical(rng, force_super):
+    """Super-slot candidate tables (slots gathering s consecutive
+    blocks — the 1M+ SMEM regime) must stay BIT-identical to the dense
+    kernel: per-block sequential accumulation inside a slot preserves
+    the dense reduction order, and over-admitted sibling blocks
+    contribute exact +0.0."""
+    import jax.numpy as jnp
+
+    from tpuslam.algorithms.cpd import sigma_squared_init, uniform_constant
+    from tpuslam.core.types import pad_cloud
+    from tpuslam.kernels.pallas_cpd import cpd_estep_pallas
+    from tpuslam.kernels.pallas_cpd_cand import cpd_estep_cand
+    from tpuslam.ops.spatial import morton_permutation
+
+    n = 4 * 1024 * max(force_super)  # several super-slots worth
+    pts = (rng.random((n, 3)) * 8.0).astype(np.float32)
+    c = pad_cloud(pts)
+    mask = (jnp.arange(c.points.shape[0]) < c.count).astype(jnp.float32)
+    perm = morton_permutation(c.points, mask)
+    mv, mk = c.points[perm], mask[perm]
+    s2 = sigma_squared_init(mv, mk, mv, mk) * 0.002
+    const = uniform_constant(s2, 0.1, c.count, c.count)
+
+    dense = cpd_estep_pallas(mv, mk, mv, mk, s2, const,
+                             jnp.asarray(True), interpret=True)
+    got, ovf = cpd_estep_cand(mv, mk, mv, mk, s2, const,
+                              jnp.asarray(True), interpret=True,
+                              checked=True, force_super=force_super)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(dense.p1), np.asarray(got.p1))
+    np.testing.assert_array_equal(np.asarray(dense.pt1),
+                                  np.asarray(got.pt1))
+    np.testing.assert_array_equal(np.asarray(dense.px), np.asarray(got.px))
+    np.testing.assert_array_equal(np.asarray(dense.error),
+                                  np.asarray(got.error))

@@ -682,6 +682,9 @@ def cpd_register(
                 transformed, mask_b, target, mask_a, s.sigma2, c_used,
                 jnp.logical_not(fast_now), use_pallas=use_pallas,
             )
+        return _finish(s, stats)
+
+    def _finish(s: CPDState, stats: Sufficient) -> CPDState:
         ntol = jnp.abs((stats.error - s.log_likelihood) / stats.error)
         mres = cpd_mstep(moving, target, stats, const_scale, s.scale)
         if verbose:
@@ -754,15 +757,67 @@ def cpd_register(
         # taken branch; the nested form hit an XLA internal RET_CHECK
         # miscompile guard): the flat specialized loops run at the bare
         # E-step's cost.
+        # Round 5: the slow-phase specialized loops use the CHECKED
+        # candidate E-step (no lax.cond inside the wrapper either — the
+        # overflow guard's untaken dense branch cost ~0.8 s/iter
+        # in-loop at 376k, bench_results/hybrid_r5_probe.json).  The
+        # overflow flag is treated like divergence: freeze the
+        # iteration, leave the loop; the trailing cond-based fallback
+        # loop redoes it correctly.  Overflow is monotone-clearing
+        # (sigma^2 only shrinks in the slow phase), so this costs at
+        # most one wasted candidate pass on trajectories that enter
+        # the slow phase overflowing (very large clouds near the
+        # switch).
+        pallas_on = (
+            use_pallas if use_pallas is not None
+            else jax.default_backend() == "tpu"
+        )
+        checked_slow = pallas_on and not record_history
+
+        def slow_stage(state: CPDState) -> CPDState:
+            from tpuslam.kernels.pallas_cpd_cand import cpd_estep_cand
+
+            def cond_b(carry):
+                s, ok = carry
+                return jnp.logical_and(ok, cond_slow(s))
+
+            def body_b(carry):
+                s, ok = carry
+                transformed = transform_points(
+                    moving, s.rotation, s.translation, s.scale
+                )
+                stats, ovf = cpd_estep_cand(
+                    transformed, mask_b, target, mask_a, s.sigma2,
+                    c_init, jnp.asarray(True),
+                    interpret=jax.default_backend() != "tpu",
+                    checked=True,
+                )
+                new_s = _finish(s, stats)
+                keep = jnp.logical_and(
+                    cond_b((s, ok)), jnp.logical_not(ovf)
+                )
+                s2 = jax.tree.map(
+                    lambda old, new: jnp.where(keep, new, old), s, new_s
+                )
+                return s2, jnp.logical_and(ok, jnp.logical_not(ovf))
+
+            out, _ = jax.lax.while_loop(
+                cond_b, body_b, (state, jnp.asarray(True))
+            )
+            return out
+
+        slow_arm = (
+            slow_stage if checked_slow
+            else (cond_slow,
+                  freeze(partial(_body, fast_phase=False), cond_slow))
+        )
         arms = [
             (cond_fast,
              freeze(partial(_body, fast_phase=True), cond_fast)),
-            (cond_slow,
-             freeze(partial(_body, fast_phase=False), cond_slow)),
+            slow_arm,
             (cond_fast,
              freeze(partial(_body, fast_phase=True), cond_fast)),
-            (cond_slow,
-             freeze(partial(_body, fast_phase=False), cond_slow)),
+            slow_arm,
             (cond, freeze(partial(_body, fast_phase=None), cond)),
         ]
     else:
@@ -802,15 +857,19 @@ def cpd_register(
 
         hist0 = jnp.full((history_length, 4), jnp.nan, jnp.float32)
         carry = (init, hist0)
-        for c_a, b_a in arms:
+        for c_a, b_a in arms:  # checked stages never appear here
             c_h, b_h = with_hist(c_a, b_a)
             carry = jax.lax.while_loop(c_h, b_h, carry)
         final, history = carry
     else:
         history = None
         final = init
-        for c_a, b_a in arms:
-            final = jax.lax.while_loop(c_a, b_a, final)
+        for arm in arms:
+            if callable(arm):  # a self-contained stage (checked slow)
+                final = arm(final)
+            else:
+                c_a, b_a = arm
+                final = jax.lax.while_loop(c_a, b_a, final)
     return RegistrationResult(
         transform=RigidTransform(
             rotation=final.rotation,

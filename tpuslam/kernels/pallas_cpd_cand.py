@@ -75,7 +75,23 @@ def _fat_budget(t_blocks: int) -> int:
     return max(_FAT_MAX, t_blocks // 16)
 
 
-def _denom_cand_kernel(counts_ref, cand_ref, sc_ref, xT_ref, *refs):
+def _super_factor(t_slots: int, t_grid: int) -> int:
+    """Blocks gathered per candidate-table slot.  1 through mustang
+    scale; grows (2/4/8) when the 5/8-of-blocks table would not fit
+    the SMEM cap — at 1.3M (1270x1270 blocks) slots gather 8
+    consecutive blocks, so the table holds 159 super-ids x 99 slots
+    instead of failing to hold 1270 x 793.  Bit-identity is preserved
+    because the kernel accumulates each super-slot's blocks
+    SEQUENTIALLY in ascending order (the dense kernel's order) and any
+    over-admitted block contributes exact +0.0 terms."""
+    cap = max(_TABLE_SMEM_BYTES // 4 // max(t_grid, 1), SLOTS)
+    for s in (1, 2, 4):
+        if max(_BUDGET_NUM * (t_slots // s) // _BUDGET_DEN, 1) <= cap:
+            return s
+    return 8
+
+
+def _denom_cand_kernel(s, counts_ref, cand_ref, sc_ref, xT_ref, *refs):
     del cand_ref
     t_refs = refs[:SLOTS]
     denom_ref = refs[SLOTS]
@@ -91,13 +107,18 @@ def _denom_cand_kernel(counts_ref, cand_ref, sc_ref, xT_ref, *refs):
     for r in range(SLOTS):
         @pl.when(r < live)
         def _(r=r):
-            g = _gauss(
-                t_refs[r][:], xT, sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3]
-            )
-            denom_ref[0] += jnp.sum(g, axis=0)
+            tr = t_refs[r][:]  # [s*_TILE, 3] — a super-slot of blocks
+            for h in range(s):
+                # per-_TILE-block sequential accumulation = the dense
+                # kernel's reduction order (bit-identity contract)
+                g = _gauss(
+                    tr[h * _TILE:(h + 1) * _TILE], xT,
+                    sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3],
+                )
+                denom_ref[0] += jnp.sum(g, axis=0)
 
 
-def _moments_cand_kernel(counts_ref, cand_ref, sc_ref, tyT_ref, *refs):
+def _moments_cand_kernel(s, counts_ref, cand_ref, sc_ref, tyT_ref, *refs):
     del cand_ref
     t_refs = refs[:SLOTS]
     acc_ref = refs[SLOTS]
@@ -113,15 +134,23 @@ def _moments_cand_kernel(counts_ref, cand_ref, sc_ref, tyT_ref, *refs):
     for r in range(SLOTS):
         @pl.when(r < live)
         def _(r=r):
-            xw = t_refs[r][:]  # [BN, 8] — (x, y, z, 0, w0..w3) sublanes
-            g = _gauss(
-                xw[:, 0:3], tyT, sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3]
-            )
-            for c in range(4):
-                acc_ref[c] += jnp.sum(g * xw[:, 4 + c:5 + c], axis=0)
+            xws = t_refs[r][:]  # [s*BN, 8] — (x, y, z, 0, w0..w3)
+            for h in range(s):
+                xw = xws[h * _TILE:(h + 1) * _TILE]
+                g = _gauss(
+                    xw[:, 0:3], tyT,
+                    sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3],
+                )
+                for c in range(4):
+                    acc_ref[c] += jnp.sum(
+                        g * xw[:, 4 + c:5 + c], axis=0
+                    )
 
 
-@functools.partial(jax.jit, static_argnames=("truncate", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("truncate", "interpret", "checked", "force_super"),
+)
 def cpd_estep_cand(
     transformed: jnp.ndarray,
     moving_mask: jnp.ndarray,
@@ -132,36 +161,61 @@ def cpd_estep_cand(
     trunc_active: jnp.ndarray,
     truncate: float = 1e-3,
     interpret: bool = False,
+    checked: bool = False,
+    force_super=None,  # (s_m, s_n) override — tests exercise s>1 at
+    # small sizes without a 32k-block interpret run
 ) -> Sufficient:
     """Drop-in replacement for ``cpd_estep_pallas`` (same contract, same
     bits) that skips block pairs proven to contribute exact zeros.  Most
     effective when both clouds are Morton-sorted (see module docstring);
-    correct for any row order."""
+    correct for any row order.
+
+    ``checked=True`` returns ``(Sufficient, overflow bool[])`` and emits
+    NO ``lax.cond``: the candidate path runs unconditionally, and when
+    ``overflow`` is True its statistics are INVALID (dropped admissible
+    blocks) and must be discarded by the caller.  This exists for
+    specialized while_loop bodies: a ``lax.cond(overflow, dense, cand)``
+    inside a dynamic-trip loop costs ~the dense branch even when the
+    candidate branch is taken (measured round 5: the Hybrid slow phase
+    ran 1.15 s/iter in-loop vs 0.23-0.34 standalone at 376k,
+    ``bench_results/hybrid_r5_probe.json`` — the same TPU pathology as
+    round 3's fast/slow cond, ``tools/probe_cond_dyn.py``); callers
+    treat overflow like divergence — freeze the iteration and leave the
+    specialized loop, letting the trailing cond-based fallback loop
+    redo it correctly."""
     m0, n0 = transformed.shape[0], target.shape[0]
-    m = round_up(m0, _TILE)
-    n = round_up(n0, _TILE)
+    tn0, tm0 = round_up(n0, _TILE) // _TILE, round_up(m0, _TILE) // _TILE
+    # slots gather s consecutive blocks when a plain per-block table
+    # would not fit SMEM (see _super_factor) — s_m for the moving side
+    # (denom kernel slots), s_n for the target side (moments slots)
+    if force_super is not None:
+        s_m, s_n = force_super
+    else:
+        s_m = _super_factor(tm0, tn0)
+        s_n = _super_factor(tn0, tm0)
+    m = round_up(m0, _TILE * s_m)
+    n = round_up(n0, _TILE * s_n)
     tn, tm = n // _TILE, m // _TILE
-    # candidate-table width: the 5/8-of-blocks win threshold, CLAMPED so
-    # the scalar-prefetch table fits its SMEM budget at any size — at
-    # 1.3M (1270 blocks) the unclamped 800-wide table is 4 MB and the
-    # round-4 code fell back to the 13.3 s/iter dense kernel for EVERY
-    # truncated iteration (bench_results/cpd_large_1m.log r5); clamped
-    # (width 96 there) the truncated-sigma admissible sets still fit,
-    # and genuinely over-admitting blocks go through the fat-block
-    # dense-subset passes as before
+    tm_s, tn_s = tm // s_m, tn // s_n
+    # candidate-table width (in super-slot units): the 5/8-of-blocks
+    # win threshold, clamped to the SMEM budget — at 1.3M (1270 blocks)
+    # the round-4 per-block 800-wide table was 4 MB against the 512 KB
+    # budget and EVERY truncated iteration fell back to the 13.3 s/iter
+    # dense kernel (bench_results/cpd_large_1m.log r5)
     smem_cap_m = max(_TABLE_SMEM_BYTES // 4 // max(tn, 1), SLOTS)
     smem_cap_n = max(_TABLE_SMEM_BYTES // 4 // max(tm, 1), SLOTS)
-    width_m = -(-min(tm, max(_BUDGET_NUM * tm // _BUDGET_DEN, 1),
+    width_m = -(-min(tm_s, max(_BUDGET_NUM * tm_s // _BUDGET_DEN, 1),
                      smem_cap_m) // SLOTS) * SLOTS
-    width_n = -(-min(tn, max(_BUDGET_NUM * tn // _BUDGET_DEN, 1),
+    width_n = -(-min(tn_s, max(_BUDGET_NUM * tn_s // _BUDGET_DEN, 1),
                      smem_cap_n) // SLOTS) * SLOTS
     if tn < 2 or tm < 2:
         # too small to skip anything
-        return cpd_estep_pallas(
+        out = cpd_estep_pallas(
             transformed, moving_mask, target, target_mask, sigma2,
             constant, trunc_active, truncate=truncate,
             interpret=interpret,
         )
+        return (out, jnp.asarray(False)) if checked else out
 
     if m != m0:
         transformed = jnp.pad(transformed, ((0, m - m0), (0, 0)))
@@ -205,12 +259,20 @@ def cpd_estep_cand(
     )
     # no truncation -> admit everything (forces the dense fallback via
     # the overflow cond below); see module doc on the removed exact arm
-    adm = jnp.logical_or(
-        jnp.logical_not(trunc_active), (lb * lb) <= d2_cut
-    )  # [Tn, Tm]
+    # super-slot admission: pool the block-level lower bounds over each
+    # slot's s consecutive blocks (min = any block reachable admits the
+    # slot; over-admitted sibling blocks contribute exact zeros)
+    lb_m = lb.reshape(tn, tm_s, s_m).min(axis=2)  # [Tn, Tm/s_m]
+    lb_n = lb.reshape(tn_s, s_n, tm).min(axis=1)  # [Tn/s_n, Tm]
+    adm_m = jnp.logical_or(
+        jnp.logical_not(trunc_active), (lb_m * lb_m) <= d2_cut
+    )  # [Tn, Tm_s]
+    adm_n = jnp.logical_or(
+        jnp.logical_not(trunc_active), (lb_n * lb_n) <= d2_cut
+    )  # [Tn_s, Tm]
 
-    counts_n = jnp.sum(adm, axis=1).astype(jnp.int32)  # per target block
-    counts_m = jnp.sum(adm, axis=0).astype(jnp.int32)  # per moving block
+    counts_n = jnp.sum(adm_m, axis=1).astype(jnp.int32)  # per target blk
+    counts_m = jnp.sum(adm_n, axis=0).astype(jnp.int32)  # per moving blk
     # blocks whose candidate set overflows the table run through a
     # gathered DENSE subset pass instead (a handful of octant-crossing
     # blocks in practice); only more than the size-scaled fat budget
@@ -241,9 +303,11 @@ def cpd_estep_cand(
     def cand(_):
         counts_n_s = jnp.where(fat_n, 0, counts_n)
         counts_m_s = jnp.where(fat_m, 0, counts_m)
-        cand_m = _build_cand_table(adm, counts_n_s, width_m)  # [Tn, widthM]
+        cand_m = _build_cand_table(
+            adm_m, counts_n_s, width_m
+        )  # [Tn, widthM] of moving super-ids
         denom = pl.pallas_call(
-            _denom_cand_kernel,
+            functools.partial(_denom_cand_kernel, s_m),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(tn, width_m // SLOTS),
@@ -253,7 +317,7 @@ def cpd_estep_cand(
                     pl.BlockSpec((3, _TILE), lambda i, j, ct, cr: (0, i)),
                     *[
                         pl.BlockSpec(
-                            (_TILE, 3),
+                            (s_m * _TILE, 3),
                             lambda i, j, ct, cr, r=r: (
                                 cr[i, j * SLOTS + r], 0
                             ),
@@ -305,9 +369,11 @@ def cpd_estep_cand(
             axis=1,
         )  # [N, 8]
 
-        cand_n = _build_cand_table(adm.T, counts_m, width_n)  # [Tm, widthN]
+        cand_n = _build_cand_table(
+            adm_n.T, counts_m_s, width_n
+        )  # [Tm, widthN] of target super-ids
         acc = pl.pallas_call(
-            _moments_cand_kernel,
+            functools.partial(_moments_cand_kernel, s_n),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(tm, width_n // SLOTS),
@@ -317,7 +383,7 @@ def cpd_estep_cand(
                     pl.BlockSpec((3, _TILE), lambda j, i, ct, cr: (0, j)),
                     *[
                         pl.BlockSpec(
-                            (_TILE, 8),
+                            (s_n * _TILE, 8),
                             lambda j, i, ct, cr, r=r: (
                                 cr[j, i * SLOTS + r], 0
                             ),
@@ -369,4 +435,6 @@ def cpd_estep_cand(
             p1=p1[:m0], pt1=pt1[:n0], px=px[:m0], error=err
         )
 
+    if checked:
+        return cand(None), overflow
     return jax.lax.cond(overflow, dense, cand, None)
