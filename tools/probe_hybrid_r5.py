@@ -82,6 +82,45 @@ def main() -> None:
 
         return timeit(f, reps=2)
 
+    # pure slow phase: resume below the 0.015*sigma2_0 switch, so every
+    # iteration is a slow (truncated candidate) one — the clean in-loop
+    # slow rate without phase mixing
+    from tpuslam.algorithms.cpd import CPDResume, hybrid_fast_threshold
+
+    thr = hybrid_fast_threshold(cb, ca)
+
+    def run_slow(iters):
+        def f(i):
+            res = cpd_register(
+                Cloud(cb.points * (1.0 + 1e-5 * i), cb.count), ca,
+                weight=0.1, const_scale=True, tolerance=0.0,
+                eps=1e-12, max_iterations=iters,
+                approximation_type=ApproximationType.Hybrid,
+                use_fgt=True, assume_sorted=True,
+                resume=CPDResume(
+                    rotation=jnp.eye(3, dtype=jnp.float32),
+                    translation=jnp.zeros(3, jnp.float32),
+                    scale=jnp.float32(1.0),
+                    sigma2=thr * 0.9,
+                    log_likelihood=jnp.float32(1.0),
+                    ntol=jnp.float32(10.0),
+                ),
+            )
+            return res.error
+
+        return timeit(f, reps=2)
+
+    t3 = run_slow(3)
+    t13 = run_slow(13)
+    slope = (t13 - t3) / 10.0
+    results["slow_only_t3_s"] = round(t3, 3)
+    results["slow_only_t13_s"] = round(t13, 3)
+    results["slow_only_iter_s"] = round(slope, 3)
+    print(
+        f"slow_only: t3={t3:.3f} t13={t13:.3f} -> "
+        f"{slope:.3f} s/iter in-loop", flush=True,
+    )
+
     for label, mode in (
         ("full_fgt", ApproximationType.Full),
         ("hybrid_fgt", ApproximationType.Hybrid),

@@ -107,15 +107,28 @@ def _denom_cand_kernel(s, counts_ref, cand_ref, sc_ref, xT_ref, *refs):
     for r in range(SLOTS):
         @pl.when(r < live)
         def _(r=r):
-            tr = t_refs[r][:]  # [s*_TILE, 3] — a super-slot of blocks
-            for h in range(s):
-                # per-_TILE-block sequential accumulation = the dense
-                # kernel's reduction order (bit-identity contract)
+            if s == 1:
                 g = _gauss(
-                    tr[h * _TILE:(h + 1) * _TILE], xT,
+                    t_refs[r][:], xT,
                     sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3],
                 )
                 denom_ref[0] += jnp.sum(g, axis=0)
+            else:
+                # per-_TILE-block SEQUENTIAL accumulation = the dense
+                # kernel's reduction order (bit-identity contract); a
+                # fori_loop, not an unrolled range: unrolled, Mosaic
+                # keeps every h's [_TILE, BN] g matrix live at once and
+                # blows the 16 MB scoped-VMEM stack at s=8 (measured)
+                def h_body(h, carry):
+                    blk = t_refs[r][pl.dslice(h * _TILE, _TILE), :]
+                    g = _gauss(
+                        blk, xT,
+                        sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3],
+                    )
+                    denom_ref[0] += jnp.sum(g, axis=0)
+                    return carry
+
+                jax.lax.fori_loop(0, s, h_body, 0)
 
 
 def _moments_cand_kernel(s, counts_ref, cand_ref, sc_ref, tyT_ref, *refs):
@@ -134,9 +147,8 @@ def _moments_cand_kernel(s, counts_ref, cand_ref, sc_ref, tyT_ref, *refs):
     for r in range(SLOTS):
         @pl.when(r < live)
         def _(r=r):
-            xws = t_refs[r][:]  # [s*BN, 8] — (x, y, z, 0, w0..w3)
-            for h in range(s):
-                xw = xws[h * _TILE:(h + 1) * _TILE]
+            if s == 1:
+                xw = t_refs[r][:]  # [BN, 8] — (x, y, z, 0, w0..w3)
                 g = _gauss(
                     xw[:, 0:3], tyT,
                     sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3],
@@ -145,6 +157,21 @@ def _moments_cand_kernel(s, counts_ref, cand_ref, sc_ref, tyT_ref, *refs):
                     acc_ref[c] += jnp.sum(
                         g * xw[:, 4 + c:5 + c], axis=0
                     )
+            else:
+                # sequential per-block fori_loop (see denom kernel)
+                def h_body(h, carry):
+                    xw = t_refs[r][pl.dslice(h * _TILE, _TILE), :]
+                    g = _gauss(
+                        xw[:, 0:3], tyT,
+                        sc_ref[0, 0], sc_ref[0, 2], sc_ref[0, 3],
+                    )
+                    for c in range(4):
+                        acc_ref[c] += jnp.sum(
+                            g * xw[:, 4 + c:5 + c], axis=0
+                        )
+                    return carry
+
+                jax.lax.fori_loop(0, s, h_body, 0)
 
 
 @functools.partial(
