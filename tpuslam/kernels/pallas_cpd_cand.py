@@ -358,6 +358,15 @@ def cpd_estep_cand(
             ),
             out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
             interpret=interpret,
+            # s>1: Mosaic allocates each unrolled slot branch's [_TILE,
+            # BN] g on the scoped stack simultaneously (~64 MB at s=8)
+            # instead of reusing one — raise the scoped limit (v5e VMEM
+            # is 128 MB); s=1 keeps the default 16 MB budget
+            compiler_params=(
+                pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ) if s_m > 1 else None
+            ),
         )(
             counts_n_s, cand_m, scalars, jnp.swapaxes(target, 0, 1),
             *([ty] * SLOTS),
@@ -424,6 +433,11 @@ def cpd_estep_cand(
             ),
             out_shape=jax.ShapeDtypeStruct((4, m), jnp.float32),
             interpret=interpret,
+            compiler_params=(
+                pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ) if s_n > 1 else None
+            ),
         )(
             counts_m_s, cand_n, scalars, jnp.swapaxes(ty, 0, 1),
             *([xw] * SLOTS),
