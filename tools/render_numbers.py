@@ -188,6 +188,11 @@ def claims(a):
             r"Hybrid ladder at mustang scale \(376k\) runs "
             r"(\d+(?:\.\d+)?) s / 15 iterations",
             fmt(cl["hybrid_15iter_wall_s"])))
+        out.append((
+            "docs/DESIGN.md",
+            r"376k\) runs \d+(?:\.\d+)? s / 15 iterations\s+at gt-MSE "
+            r"(\S+) of spread",
+            f"{cl['hybrid_15iter_gt_mse_rel_spread2']:.2g}"))
     return out
 
 
