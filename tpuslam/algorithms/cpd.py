@@ -772,7 +772,21 @@ def cpd_register(
             use_pallas if use_pallas is not None
             else jax.default_backend() == "tpu"
         )
-        checked_slow = pallas_on and not record_history
+        # Measured in-loop economics (round 5, chip): the candidate
+        # slow body pays a SIZE-SCALING while_loop penalty its
+        # standalone rate does not show (~2x at 376k: 0.56 vs 0.27
+        # s/iter; ~4x at 1.3M: ~16 vs 3.4-5), while the monolithic
+        # dense kernel runs in-loop at its standalone rate.  Net: the
+        # checked candidate slow phase wins through mustang scale and
+        # LOSES to the dense-rate slow phase at 1.3M (60.4 vs 49.7 s
+        # recorded hybrid walls), so it is gated to <= ~768k padded
+        # rows pending a deeper Mosaic/while_loop investigation
+        # (bench_results/hybrid_r5_probe.json, cpd_large_1m.log).
+        checked_slow = (
+            pallas_on
+            and not record_history
+            and max(before.padded_size, after.padded_size) <= 768_000
+        )
 
         def slow_stage(state: CPDState) -> CPDState:
             from tpuslam.kernels.pallas_cpd_cand import cpd_estep_cand
