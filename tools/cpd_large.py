@@ -238,16 +238,22 @@ def main() -> None:
     float(cpd_register_chunked(cb_w, ca_w, max_iterations=15,
                                **common).error)
 
+    # the TIMED moving cloud is perturbed (f32-surviving) so a relayed
+    # backend cannot serve the whole warmed dispatch from its dedup
+    # cache — two round-5 recordings of the un-perturbed 1.3M run
+    # landed on byte-identical 60.43 s walls, the dedup signature
+    pts_t = (pts * (1.0 + 1e-5)).astype(np.float32)
     t0 = _time.perf_counter()
-    cb_s, ca_s = presort_pair(pts)
+    cb_s, ca_s = presort_pair(pts_t)
     t_sort = _time.perf_counter() - t0  # host sort/pad (H2D is async)
     res = cpd_register_chunked(cb_s, ca_s, max_iterations=15, **common)
     err = float(res.error)  # device->host read brackets completion
     wall = _time.perf_counter() - t0
     rot = np.asarray(res.transform.rotation)
     tr = np.asarray(res.transform.translation)
+    # evaluate against the perturbed moving cloud the run actually saw
     target = pts @ r.T + t
-    gt_mse = float(np.mean(np.sum((pts @ rot.T + tr - target) ** 2, -1)))
+    gt_mse = float(np.mean(np.sum((pts_t @ rot.T + tr - target) ** 2, -1)))
     results["hybrid_15iter_wall_s"] = round(wall, 2)
     results["hybrid_15iter_gt_mse"] = round(gt_mse, 5)
     # scale-free accuracy: gt-MSE relative to the squared cloud spread
@@ -275,10 +281,26 @@ def main() -> None:
     pre_sigma2 = np.concatenate([[np.inf], hist[:-1, 0]])
     n_fast = int(np.sum(pre_sigma2 > thr))
     n_slow = iters_h - n_fast
+    # which kernel the slow phase actually runs in-loop: the checked
+    # candidate path is size-gated (algorithms/cpd.py) because its
+    # multi-op body pays a size-scaling while_loop penalty
+    gated = max(cb_s.points.shape[0], ca_s.points.shape[0]) > 768_000
+    slow_rate_lo = (
+        results["estep_exact_s_per_iter"] if gated else
+        min(results["estep_cand_late_trunc_s_per_iter"],
+            results["estep_cand_hybrid_switch_s_per_iter"])
+    )
+    slow_rate_hi = (
+        results["estep_exact_s_per_iter"] if gated else
+        max(results["estep_cand_late_trunc_s_per_iter"],
+            results["estep_cand_hybrid_switch_s_per_iter"])
+    )
     budget = {
         "iterations": iters_h,
         "fast_iters": n_fast,
         "slow_iters": n_slow,
+        "slow_kernel": "dense (candidate gated off in-loop at 1M+)"
+        if gated else "candidate (tile-skipping)",
         "fgt_phase_s": round(
             n_fast * results["estep_fgt_cached_s_per_iter"], 2
         ),
@@ -286,18 +308,9 @@ def main() -> None:
             results["estep_fgt_s_per_iter"]
             - results["estep_fgt_cached_s_per_iter"], 2
         ),
-        # slow-phase bounds: every slow iteration costs between the
-        # late-truncation and at-switch candidate-kernel rates
-        "slow_phase_s_lo": round(
-            n_slow * min(results["estep_cand_late_trunc_s_per_iter"],
-                         results["estep_cand_hybrid_switch_s_per_iter"]),
-            2,
-        ),
-        "slow_phase_s_hi": round(
-            n_slow * max(results["estep_cand_late_trunc_s_per_iter"],
-                         results["estep_cand_hybrid_switch_s_per_iter"]),
-            2,
-        ),
+        # slow-phase bounds at the in-loop kernel's measured rates
+        "slow_phase_s_lo": round(n_slow * slow_rate_lo, 2),
+        "slow_phase_s_hi": round(n_slow * slow_rate_hi, 2),
         "msteps_s": round(iters_h * dt_m, 2),
         "host_presort_s": round(t_sort, 2),
         "wall_s": results["hybrid_15iter_wall_s"],

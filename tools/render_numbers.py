@@ -169,7 +169,7 @@ def claims(a):
         ("BASELINE.md",
          r"\*\*(\d+(?:\.\d+)?) ms/iter median above 1M\*\*", med_1m),
         ("BASELINE.md",
-         r"bound\) and \*\*\d+(?:\.\d+)? ms/iter median above 1M\*\* "
+         r"and \*\*\d+(?:\.\d+)? ms/iter median above 1M\*\* "
          r"\((\d+(?:\.\d+)?)× the <10 s",
          fmt(10000.0 / br["icp_iter_1M_plus_median_ms"])),
         ("BASELINE.md",
