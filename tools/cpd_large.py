@@ -281,20 +281,61 @@ def main() -> None:
     pre_sigma2 = np.concatenate([[np.inf], hist[:-1, 0]])
     n_fast = int(np.sum(pre_sigma2 > thr))
     n_slow = iters_h - n_fast
-    # which kernel the slow phase actually runs in-loop: the checked
-    # candidate path is size-gated (algorithms/cpd.py) because its
-    # multi-op body pays a size-scaling while_loop penalty
+    # which kernel the slow phase actually runs in-loop (the checked
+    # candidate path is size-gated at 768k, algorithms/cpd.py), and its
+    # rate AT THE TRAJECTORY'S OWN sigma^2 values: candidate cost
+    # tracks the admission fraction, which tracks d_cut ~ sigma — the
+    # first slow iteration runs just under the switch (sigma^2 ~
+    # 0.015*sigma0^2 of the MOVED pair, ~3.6x the self-pair value the
+    # generic rows above sample), so budgeting with those rows
+    # understated the slow phase ~3x (the round-5 residual mystery;
+    # bench_results/hybrid_marginal_r5.log is the direct per-iteration
+    # ledger)
     gated = max(cb_s.points.shape[0], ca_s.points.shape[0]) > 768_000
-    slow_rate_lo = (
-        results["estep_exact_s_per_iter"] if gated else
-        min(results["estep_cand_late_trunc_s_per_iter"],
-            results["estep_cand_hybrid_switch_s_per_iter"])
-    )
-    slow_rate_hi = (
-        results["estep_exact_s_per_iter"] if gated else
-        max(results["estep_cand_late_trunc_s_per_iter"],
-            results["estep_cand_hybrid_switch_s_per_iter"])
-    )
+    slow_pre = pre_sigma2[pre_sigma2 <= thr]
+    if gated or len(slow_pre) == 0:
+        slow_rate_lo = slow_rate_hi = results["estep_exact_s_per_iter"]
+    else:
+        from tpuslam.kernels.pallas_cpd_cand import cpd_estep_cand
+
+        mask_b2 = (jnp.arange(cb_s.points.shape[0])
+                   < cb_s.count).astype(jnp.float32)
+        mask_a2 = (jnp.arange(ca_s.points.shape[0])
+                   < ca_s.count).astype(jnp.float32)
+        c_pair = uniform_constant(
+            sigma_squared_init(cb_s.points, mask_b2, ca_s.points,
+                               mask_a2),
+            0.1, cb_s.count, ca_s.count,
+        )
+        # sample with the moving cloud ALIGNED (the gt transform ~ the
+        # EM state after the fast phase): admission depends on overlap,
+        # and the unaligned clouds sit a full translation apart
+        aligned = (
+            cb_s.points @ jnp.asarray(r.T) + jnp.asarray(t)
+        ) * mask_b2[:, None]
+        traj_rates = {}
+        for tag, s2v in (("entry", float(slow_pre[0])),
+                         ("exit", float(slow_pre[-1]))):
+            def f(i, s2v=s2v):
+                out, _ = cpd_estep_cand(
+                    aligned * (1.0 + 1e-5 * i), mask_b2,
+                    ca_s.points, mask_a2, jnp.float32(s2v), c_pair,
+                    jnp.asarray(True), interpret=interpret,
+                    checked=True,
+                )
+                return out.error
+
+            traj_rates[tag] = timeit(f, reps=2)
+            print(
+                f"cand at trajectory sigma2[{tag}]={s2v:.4f}: "
+                f"{traj_rates[tag]:.3f} s/iter", flush=True,
+            )
+        results["estep_cand_traj_entry_s_per_iter"] = round(
+            traj_rates["entry"], 3)
+        results["estep_cand_traj_exit_s_per_iter"] = round(
+            traj_rates["exit"], 3)
+        slow_rate_lo = traj_rates["exit"]
+        slow_rate_hi = traj_rates["entry"]
     budget = {
         "iterations": iters_h,
         "fast_iters": n_fast,

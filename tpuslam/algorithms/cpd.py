@@ -772,16 +772,20 @@ def cpd_register(
             use_pallas if use_pallas is not None
             else jax.default_backend() == "tpu"
         )
-        # Measured in-loop economics (round 5, chip): the candidate
-        # slow body pays a SIZE-SCALING while_loop penalty its
-        # standalone rate does not show (~2x at 376k: 0.56 vs 0.27
-        # s/iter; ~4x at 1.3M: ~16 vs 3.4-5), while the monolithic
-        # dense kernel runs in-loop at its standalone rate.  Net: the
-        # checked candidate slow phase wins through mustang scale and
-        # LOSES to the dense-rate slow phase at 1.3M (60.4 vs 49.7 s
-        # recorded hybrid walls), so it is gated to <= ~768k padded
-        # rows pending a deeper Mosaic/while_loop investigation
-        # (bench_results/hybrid_r5_probe.json, cpd_large_1m.log).
+        # Measured slow-phase economics (round 5, chip; there is NO
+        # in-loop penalty — bench_results/inloop_penalty.json shows
+        # the checked body at its standalone rate inside a loop, and
+        # hybrid_marginal_r5.log ledgers the wall exactly): candidate
+        # cost tracks the admission fraction, which tracks
+        # d_cut ~ sigma, and the slow phase ENTERS at sigma^2 =
+        # 0.015*sigma0^2 of the real pair — wide admission.  At 1M+
+        # that entry overflows even the super-slot table, the checked
+        # loop aborts, and the REST of the run parks in the fallback
+        # loop (recorded 60.4 s vs 49.7 s with dense-rate slow), so
+        # the checked slow arms are gated to <= ~768k padded rows,
+        # where they win (entry overflow costs one wasted candidate
+        # pass, then admission shrinks with sigma^2 and skipping pays:
+        # slow marginals 2.0 -> 0.4 s/iter across the 376k phase).
         checked_slow = (
             pallas_on
             and not record_history
