@@ -328,8 +328,19 @@ def cpd_estep_cand(
         )
 
     def cand(_):
-        counts_n_s = jnp.where(fat_n, 0, counts_n)
-        counts_m_s = jnp.where(fat_m, 0, counts_m)
+        # under checked=True the caller DISCARDS overflow results, so
+        # zero every slot count when overflowing: the kernels become
+        # count-gated no-ops (~30 ms of empty grid steps at 376k
+        # instead of a ~460 ms wasted attempt at the slow-phase entry,
+        # hybrid_marginal_r5.log).  In the unchecked path this branch
+        # only runs when NOT overflowing, where the where() is an
+        # identity — bit-identical either way.
+        counts_n_s = jnp.where(
+            jnp.logical_or(fat_n, overflow), 0, counts_n
+        )
+        counts_m_s = jnp.where(
+            jnp.logical_or(fat_m, overflow), 0, counts_m
+        )
         cand_m = _build_cand_table(
             adm_m, counts_n_s, width_m
         )  # [Tn, widthM] of moving super-ids
@@ -390,7 +401,8 @@ def cpd_estep_cand(
             return d.at[rows].set(d_sub, mode="drop")
 
         denom = jax.lax.cond(
-            jnp.any(fat_n), add_fat_n, lambda d: d, denom
+            jnp.logical_and(jnp.any(fat_n), jnp.logical_not(overflow)),
+            add_fat_n, lambda d: d, denom
         )
 
         pt1 = (1.0 - constant / denom) * target_mask
@@ -462,7 +474,8 @@ def cpd_estep_cand(
             return a.at[:, rows].set(a_sub, mode="drop")
 
         acc = jax.lax.cond(
-            jnp.any(fat_m), add_fat_m, lambda a: a, acc
+            jnp.logical_and(jnp.any(fat_m), jnp.logical_not(overflow)),
+            add_fat_m, lambda a: a, acc
         )
 
         p1 = acc[0, :] * moving_mask
