@@ -316,6 +316,24 @@ def main() -> None:
         traj_rates = {}
         for tag, s2v in (("entry", float(slow_pre[0])),
                          ("exit", float(slow_pre[-1]))):
+            # an overflowing sigma^2 makes the checked call a count-
+            # gated no-op; what the LOOP pays there is the fallback's
+            # DENSE rate (the overflow->fallback design), so report
+            # that
+            _, ovf = cpd_estep_cand(
+                aligned, mask_b2, ca_s.points, mask_a2,
+                jnp.float32(s2v), c_pair, jnp.asarray(True),
+                interpret=interpret, checked=True,
+            )
+            if bool(ovf):
+                traj_rates[tag] = results["estep_exact_s_per_iter"]
+                print(
+                    f"cand at trajectory sigma2[{tag}]={s2v:.4f}: "
+                    f"OVERFLOW -> dense rate "
+                    f"{traj_rates[tag]:.3f} s/iter", flush=True,
+                )
+                continue
+
             def f(i, s2v=s2v):
                 out, _ = cpd_estep_cand(
                     aligned * (1.0 + 1e-5 * i), mask_b2,
@@ -334,8 +352,8 @@ def main() -> None:
             traj_rates["entry"], 3)
         results["estep_cand_traj_exit_s_per_iter"] = round(
             traj_rates["exit"], 3)
-        slow_rate_lo = traj_rates["exit"]
-        slow_rate_hi = traj_rates["entry"]
+        slow_rate_lo = min(traj_rates.values())
+        slow_rate_hi = max(traj_rates.values())
     budget = {
         "iterations": iters_h,
         "fast_iters": n_fast,
