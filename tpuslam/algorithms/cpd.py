@@ -80,6 +80,19 @@ _TWO_PI = 2.0 * math.pi
 # crossover down from the round-4 82.5k
 CPD_FGT_CROSSOVER = 74_018
 
+# largest padded size that runs the checked (cond-free) candidate slow
+# phase; read ONCE at import (it bakes into traced programs — a
+# mid-process change would silently hit stale jit caches).  See the
+# gate comment in cpd_register for the measured economics.
+import os as _os  # noqa: E402
+
+try:
+    _CHECKED_SLOW_MAX = int(
+        _os.environ.get("TPUSLAM_CPD_CHECKED_MAX", 768_000)
+    )
+except ValueError:
+    _CHECKED_SLOW_MAX = 768_000
+
 
 def resolve_use_fgt(
     use_fgt: Optional[bool],
@@ -789,7 +802,8 @@ def cpd_register(
         checked_slow = (
             pallas_on
             and not record_history
-            and max(before.padded_size, after.padded_size) <= 768_000
+            and max(before.padded_size, after.padded_size)
+            <= _CHECKED_SLOW_MAX
         )
 
         def slow_stage(state: CPDState) -> CPDState:
