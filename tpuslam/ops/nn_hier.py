@@ -65,7 +65,7 @@ BIG = 3.4e38
 IMAX = 2**31 - 1
 DEFAULT_G = 128  # target rows per candidate tile
 DEFAULT_GSRC = 1024  # source rows per rescore group (see auto_tile_params)
-DEFAULT_L = 256  # candidate-tile budget (slots, multiple of 8)
+DEFAULT_L = 192  # candidate-tile budget (slots, multiple of 8)
 # hi/lo-split matmul error: dropped terms are <= ~4*2^-16*(|s||c|+|c|^2)
 # plus f32 accumulation; 8e-5 over-covers the 6.1e-5 worst case
 _EPS_REL = 8e-5
@@ -142,7 +142,14 @@ def auto_tile_params(m: int) -> Tuple[int, int, int]:
     while m // g > 2560:
         g *= 2
     c = max(m // g, 1)
-    l_budget = 256 if c <= 1280 else 512
+    # round 5 (de-aliased fixture, end-to-end sweep
+    # bench_results/sweep_e2e_r5.log / sweep192_r5.log): L=192 measures
+    # 186.8 vs 182.9 it/s at L=256 on the 100k headline (steady-state
+    # counts mean 59 / max 121 fit comfortably; fewer count-gated grid
+    # steps win) and is neutral on the uniform worst case (140.0 vs
+    # 140.6); L=160 gains ~0.4% more on the model cloud but costs 2.3%
+    # on uniform, so 192 is the balanced pick.
+    l_budget = 192 if c <= 1280 else 512
     gsrc = 1024 if g <= 256 else 512
     return g, gsrc, l_budget
 
