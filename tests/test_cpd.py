@@ -548,3 +548,45 @@ def test_history_trace_wraps_as_ring(rng):
     # 0..3; iterations 4..7 remain in slots 4..7
     for i in range(4, 12):
         np.testing.assert_array_equal(hist_ring[i % 8], hist_full[i])
+
+
+def test_hybrid_fast_threshold_matches_loop_init(rng):
+    """The chunked driver's phase test must use EXACTLY the loop's own
+    switch value: hybrid_fast_threshold == 0.015 * sigma_squared_init
+    on the same arrays, both centroid-init modes."""
+    from tpuslam.algorithms.cpd import hybrid_fast_threshold
+
+    before = (rng.random((300, 3)) * 6.0).astype(np.float32)
+    after = (before[rng.permutation(300)] + 0.5).astype(np.float32)
+    cb, ca = pad_cloud(before), pad_cloud(after)
+    want = 0.015 * sigma_squared_init(
+        cb.points, cb.mask(), ca.points, ca.mask()
+    )
+    np.testing.assert_allclose(
+        float(hybrid_fast_threshold(cb, ca)), float(want), rtol=1e-6
+    )
+    t0 = (np.asarray(ca.points)[: 300].mean(0)
+          - np.asarray(cb.points)[: 300].mean(0))
+    want_c = 0.015 * sigma_squared_init(
+        cb.points + jnp.asarray(t0) , cb.mask(), ca.points, ca.mask()
+    )
+    got_c = hybrid_fast_threshold(cb, ca, centroid_init=True)
+    np.testing.assert_allclose(float(got_c), float(want_c), rtol=1e-4)
+
+
+def test_super_factor_regimes():
+    """Slot super-factor: 1 through mustang scale, 8 at 1.3M (where a
+    per-block table cannot fit the SMEM budget)."""
+    from tpuslam.kernels.pallas_cpd_cand import _super_factor
+
+    assert _super_factor(368, 368) == 1     # 376k
+    assert _super_factor(1272, 1272) == 8   # 1.3M
+    assert _super_factor(2, 2) == 1
+
+
+def test_checked_slow_gate_default():
+    """TPUSLAM_CPD_CHECKED_MAX is read once at import; the recorded
+    default gate is 768k padded rows."""
+    import tpuslam.algorithms.cpd as cpd_mod
+
+    assert cpd_mod._CHECKED_SLOW_MAX == 768_000
