@@ -183,3 +183,62 @@ def test_icp_patience_returns_best_state(rng):
                        max_iterations=40, max_distance_squared=1e6,
                        divergence_guard=False, patience=3)
     assert float(pat.error) <= float(ref.error) * 1.01 + 1e-8
+
+
+def test_sequence_stream_matches_batch_lowering(rng):
+    """The streaming API (one seeded dispatch per arriving scan, device
+    artifacts retained) must follow the batch scan lowering's
+    trajectory on the same stream — the per-pair math is the shared
+    _icp_loop with identical seeds."""
+    from tpuslam.algorithms.sequence import SequenceStream
+
+    scans, poses = _make_trajectory(rng)
+    batch = register_sequence(scans, max_iterations=60,
+                              max_distance_squared=1e6)
+    stream = SequenceStream(scans[0], max_iterations=60,
+                            max_distance_squared=1e6)
+    for s in scans[1:]:
+        stream.push(s)
+    assert len(stream.absolute) == len(scans)
+    for k, (true_r, true_t) in enumerate(poses):
+        dev, terr = _pose_error(
+            stream.absolute[k].rotation, stream.absolute[k].translation,
+            true_r, true_t,
+        )
+        assert dev < 1.0 and terr < 0.15, (k, dev, terr)
+    # same trajectory as the batch lowering (identical per-pair math)
+    for k in range(len(scans)):
+        np.testing.assert_allclose(
+            stream.absolute[k].rotation, batch.absolute[k].rotation,
+            atol=1e-5,
+        )
+
+
+def test_sequence_stream_rejects_oversized_scan(rng):
+    from tpuslam.algorithms.sequence import SequenceStream
+
+    scans, _ = _make_trajectory(rng, n_scans=2, n_pts=500)
+    stream = SequenceStream(scans[0])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream.push(np.zeros((4096, 3), np.float32))
+
+
+def test_sequence_stream_spatial_arm(rng):
+    """Streaming with the hierarchical-NN arm (interpret mode off-TPU):
+    device artifacts (sorted points + target state) retained across
+    pushes."""
+    from tpuslam.algorithms.sequence import SequenceStream
+
+    scans, poses = _make_trajectory(rng, n_scans=3, n_pts=700,
+                                    step_angle=0.05, step_trans=0.3)
+    stream = SequenceStream(scans[0], max_iterations=40,
+                            max_distance_squared=1e6, use_spatial=True)
+    for s in scans[1:]:
+        stream.push(s)
+    dev, terr = _pose_error(
+        stream.absolute[-1].rotation, stream.absolute[-1].translation,
+        poses[-1][0], poses[-1][1],
+    )
+    assert dev < 1.5 and terr < 0.2, (dev, terr)

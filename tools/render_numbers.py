@@ -40,7 +40,9 @@ def artifacts():
     seq = _load("bench_results/sequence_100k.json")
     bp = _load("bench_results/batch_parity.json")
     cl1m = _load("bench_results/cpd_large_1m.json")
-    a = {"br": br, "cl": cl, "seq": seq, "bp": bp, "cl1m": cl1m}
+    stream = _load("bench_results/stream_100k.json")
+    a = {"br": br, "cl": cl, "seq": seq, "bp": bp, "cl1m": cl1m,
+         "stream": stream}
     return a
 
 
@@ -116,6 +118,15 @@ def readme_table(a):
             f"{fmt(s['dispatch_amortization_speedup'], 1)}x vs per-pair "
             f"dispatch)",
             "(no sequence mode)", "—"))
+    if a.get("stream"):
+        st = a["stream"]
+        rows.append((
+            "Streaming odometry (`SequenceStream.push`), scans arriving "
+            "one at a time @ 100k",
+            f"{fmt(st['push_ms_median'], 1)} ms/scan median "
+            f"(p90 {fmt(st['push_ms_p90'], 1)}; one seeded dispatch per "
+            f"arrival, scan transferred+prepared once)",
+            "(one pair per process)", "—"))
     if a.get("cl1m"):
         c = a["cl1m"]
         rows.append((

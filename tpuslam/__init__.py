@@ -53,6 +53,17 @@ def register_sequence(clouds, **kwargs):
     return _rs(clouds, **kwargs)
 
 
+def sequence_stream(first_scan, **kwargs):
+    """Incremental (streaming) odometry: returns a ``SequenceStream``
+    whose ``push(scan)`` registers each arriving scan against the
+    previous one in ONE seeded device dispatch, retaining every
+    cloud's device artifacts so each scan is transferred and prepared
+    exactly once (``tpuslam.algorithms.sequence.SequenceStream``)."""
+    from tpuslam.algorithms.sequence import SequenceStream
+
+    return SequenceStream(first_scan, **kwargs)
+
+
 def register_pairs(befores, afters, config=None, **overrides):
     """Batched multi-pair registration: sequences of host ``f32[N_i,3]``
     arrays in, per-pair (rotations f32[B,3,3], translations f32[B,3],

@@ -350,6 +350,128 @@ def _register_sequence_scanned(
     return rels, iters, errs
 
 
+class SequenceStream:
+    """Incremental odometry: push scans one at a time as a sensor
+    delivers them, get the relative transform (previous scan -> new
+    scan frame) and the composed absolute pose back.
+
+    This is the streaming counterpart of the scan lowering: every
+    cloud is Morton-sorted once on the host and its device artifacts
+    (sorted points + prepared hier-NN target state) are RETAINED, so a
+    scan is transferred and prepared exactly once and then serves as
+    the target of one registration and the source of the next.  Each
+    ``push`` is ONE jitted dispatch (the S=2 scan program — compiled
+    on the first push, reused for every subsequent one) seeded with
+    the previous relative motion; per-push device work at 100k is
+    ~2 warm ICP iterations (~15 ms, ``sequence_100k.json``'s
+    device-resident rate) plus the new scan's single H2D transfer.
+
+    All scans must fit one padded shape: ``max_points`` bounds them
+    (defaults to the first scan's padded size)."""
+
+    def __init__(
+        self,
+        first_scan,
+        eps: float = 1e-3,
+        max_distance_squared: float = 1000.0,
+        max_iterations: int = 50,
+        patience: Optional[int] = None,
+        use_spatial: Optional[bool] = None,
+        max_points: Optional[int] = None,
+    ):
+        import jax as _jax
+
+        a = np.asarray(
+            first_scan.points[: int(first_scan.count)]
+            if isinstance(first_scan, Cloud) else first_scan,
+            np.float32,
+        )
+        npad = round_up(max(max_points or len(a), len(a), 1), 128)
+        self._use_spatial = resolve_use_spatial(use_spatial, None, npad)
+        if self._use_spatial:
+            from tpuslam.ops.nn_hier import (
+                _coarse_tile_rows,
+                auto_tile_params,
+            )
+
+            g, gsrc, l_budget = auto_tile_params(npad)
+            npad = round_up(
+                npad, max(gsrc, g, _coarse_tile_rows(g, gsrc) or g)
+            )
+            self._tile = (g, gsrc, l_budget)
+            self._interpret = _jax.default_backend() != "tpu"
+        else:
+            self._tile = (0, 0, 0)
+            self._interpret = False
+        self._npad = npad
+        self._eps = jnp.float32(eps)
+        self._max_d2 = jnp.float32(max_distance_squared)
+        self._max_it = jnp.int32(max_iterations)
+        self._patience = (
+            SEED_PATIENCE if patience is None else int(patience)
+        )
+        self._rel_r = jnp.eye(3, dtype=jnp.float32)
+        self._rel_t = jnp.zeros((3,), jnp.float32)
+        self._first = True
+        eye = RigidTransform(
+            rotation=np.eye(3, dtype=np.float32),
+            translation=np.zeros(3, np.float32),
+            scale=np.float32(1.0),
+        )
+        self.absolute: List[RigidTransform] = [eye]
+        self._prev = self._stage(a)
+
+    def _stage(self, a: np.ndarray):
+        """Host-sort + pad + transfer one scan; returns
+        (device points f32[P,3], count)."""
+        import jax as _jax
+
+        if len(a) > self._npad:
+            raise ValueError(
+                f"scan has {len(a)} points > max_points={self._npad}"
+            )
+        padded = np.zeros((self._npad, 3), np.float32)
+        padded[: len(a)] = a
+        if self._use_spatial:
+            padded = padded[_host_morton_order(padded, len(a))]
+        return _jax.device_put(padded), np.int32(len(a))
+
+    def push(self, scan) -> RigidTransform:
+        """Register ``previous -> scan``; returns the relative
+        transform and appends the composed absolute pose."""
+        a = np.asarray(
+            scan.points[: int(scan.count)]
+            if isinstance(scan, Cloud) else scan,
+            np.float32,
+        )
+        new = self._stage(a)
+        g, gsrc, l_budget = self._tile
+        pts = jnp.stack([self._prev[0], new[0]])
+        counts = jnp.asarray(
+            [self._prev[1], new[1]], jnp.int32
+        )
+        outs = _register_pairs_scanned(
+            pts, counts, self._rel_r, self._rel_t,
+            self._eps, self._max_d2, self._max_it,
+            use_spatial=self._use_spatial, patience=self._patience,
+            g=g, gsrc=gsrc, l_budget=l_budget,
+            interpret=self._interpret, use_pallas=None,
+            seeded=not self._first,
+        )
+        rot, tr = outs[0][0], outs[1][0]
+        # the seed carry stays ON DEVICE; only the composed pose
+        # crosses to the host
+        self._rel_r, self._rel_t = rot, tr
+        self._first = False
+        self._prev = new
+        rel = RigidTransform(
+            rotation=np.asarray(rot), translation=np.asarray(tr),
+            scale=np.float32(1.0),
+        )
+        self.absolute.append(_compose(self.absolute[-1], _invert(rel)))
+        return rel
+
+
 def register_sequence(
     clouds: Sequence[np.ndarray],
     eps: float = 1e-3,
