@@ -41,8 +41,9 @@ def artifacts():
     bp = _load("bench_results/batch_parity.json")
     cl1m = _load("bench_results/cpd_large_1m.json")
     stream = _load("bench_results/stream_100k.json")
+    stream1m = _load("bench_results/stream_1m.json")
     a = {"br": br, "cl": cl, "seq": seq, "bp": bp, "cl1m": cl1m,
-         "stream": stream}
+         "stream": stream, "stream1m": stream1m}
     return a
 
 
@@ -125,7 +126,12 @@ def readme_table(a):
             "one at a time @ 100k",
             f"{fmt(st['push_ms_median'], 1)} ms/scan median "
             f"(p90 {fmt(st['push_ms_p90'], 1)}; one seeded dispatch per "
-            f"arrival, scan transferred+prepared once)",
+            f"arrival, scan transferred+prepared once"
+            + (f"; {fmt(a['stream1m']['push_ms_median'] / 1000, 2)} "
+               f"s/scan at 1M, drift RMS "
+               f"{a['stream1m']['final_drift_rms']:g}"
+               if a.get("stream1m") else "")
+            + ")",
             "(one pair per process)", "—"))
     if a.get("cl1m"):
         c = a["cl1m"]
