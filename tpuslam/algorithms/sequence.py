@@ -35,6 +35,12 @@ SEQUENCE of scans, each close to its predecessor.  Three lowerings:
   crossover).  No cross-pair seeding — use when motion is small and
   throughput beats everything.
 
+For scans arriving ONE AT A TIME (the live-sensor case), use
+``SequenceStream`` (``tpuslam.sequence_stream``): one seeded dispatch
+per arrival, every cloud transferred and prepared exactly once —
+measured 107.9 ms/scan median at 100k and 2.08 s at 1M on the chip
+(``bench_results/stream_100k.json`` / ``stream_1m.json``).
+
 Absolute poses compose homogeneously: ``T_k = T_{k-1} ∘ rel_k`` with
 ``rel_k`` mapping scan k to scan k+1's frame (the reference transform
 direction: ``before -> after``).
